@@ -1,0 +1,393 @@
+"""Template chunkers — merge/split with token budgets.
+
+From-scratch implementations of the reference's chunking semantics:
+
+- naive_merge            rag/nlp/__init__.py:521-563
+- bullets_category       rag/nlp/__init__.py:168-225
+- title_frequency        rag/nlp/__init__.py:401-428
+- hierarchical_merge     rag/nlp/__init__.py:431-518 (incl. 218-token coalesce)
+- make_colon_as_title    rag/nlp/__init__.py:379-398
+- remove_contents_table  rag/nlp/__init__.py:347-376
+- paper pivot merge      rag/app/paper.py:186-209 (+ title/author/abstract 86-118)
+- book dispatch          rag/app/book.py:131-143
+
+All random sampling in the reference (random_choices) is replaced with
+deterministic first-k prefixes (SURVEY.md §4.3 "deterministic everything").
+Sections are (text, layout_kind) pairs; positions are structs, never inline
+tags, so the reference's pos/tag plumbing has no analog here.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from ragflow_spark.functions.delimiters import get_delimiters
+from ragflow_spark.functions.tokens import num_tokens
+
+BULLET_DIALECTS: list[list[str]] = [
+    [  # CN legal
+        r"第[零一二三四五六七八九十百0-9]+(分?编|部分)",
+        r"第[零一二三四五六七八九十百0-9]+章",
+        r"第[零一二三四五六七八九十百0-9]+节",
+        r"第[零一二三四五六七八九十百0-9]+条",
+        r"[\(（][零一二三四五六七八九十百]+[\)）]",
+    ],
+    [  # numeric dotted
+        r"第[0-9]+章",
+        r"第[0-9]+节",
+        r"[0-9]{,2}[\. 、]",
+        r"[0-9]{,2}\.[0-9]{,2}[^a-zA-Z/%~-]",
+        r"[0-9]{,2}\.[0-9]{,2}\.[0-9]{,2}",
+        r"[0-9]{,2}\.[0-9]{,2}\.[0-9]{,2}\.[0-9]{,2}",
+    ],
+    [  # CN enumerations
+        r"第[零一二三四五六七八九十百0-9]+章",
+        r"第[零一二三四五六七八九十百0-9]+节",
+        r"[零一二三四五六七八九十百]+[ 、]",
+        r"[\(（][零一二三四五六七八九十百]+[\)）]",
+        r"[\(（][0-9]{,2}[\)）]",
+    ],
+    [  # EN Part/Chapter/Section/Article
+        r"PART (ONE|TWO|THREE|FOUR|FIVE|SIX|SEVEN|EIGHT|NINE|TEN)",
+        r"Chapter (I+V?|VI*|XI|IX|X)",
+        r"Section [0-9]+",
+        r"Article [0-9]+",
+        # engine extension: plain english "Chapter 3" numbering (fixtures use it)
+        r"Chapter [0-9]+",
+    ],
+]
+
+_NOT_BULLET = [re.compile(p) for p in (r"0", r"[0-9]+ +[0-9~个只-]", r"[0-9]+\.{2,}")]
+
+
+def not_bullet(line: str) -> bool:
+    return any(p.match(line) for p in _NOT_BULLET)
+
+
+def bullets_category(sections: list[str]) -> int:
+    """Pick the bullet dialect with the most distinct matching sections; -1
+    when nothing matches (rag/nlp/__init__.py:208-225)."""
+    best, best_hits = -1, 0
+    for i, dialect in enumerate(BULLET_DIALECTS):
+        hits = 0
+        for sec in sections:
+            s = sec.strip()
+            if any(re.match(p, s) and not not_bullet(s) for p in dialect):
+                hits += 1
+        if hits > best_hits:
+            best, best_hits = i, hits
+    return best
+
+
+def not_title(txt: str) -> bool:
+    """rag/nlp/__init__.py:423-428."""
+    if re.match(r"第[零一二三四五六七八九十百0-9]+条", txt):
+        return False
+    if len(txt.split()) > 12 or (txt.find(" ") < 0 and len(txt) >= 32):
+        return True
+    return bool(re.search(r"[,;，。；！!]", txt))
+
+
+def title_frequency(bull: int, sections: list[tuple[str, str]]) -> tuple[int, list[int]]:
+    """Per-section outline level + the most frequent real level
+    (rag/nlp/__init__.py:401-420). Level = index of the first matching bullet
+    pattern; layout-title hint gets level ``len(dialect)``; body text gets
+    ``len(dialect)+1``."""
+    if bull < 0 or not sections:
+        size = 0 if bull < 0 else len(BULLET_DIALECTS[bull])
+        return size + 1, [size + 1] * len(sections)
+    size = len(BULLET_DIALECTS[bull])
+    levels = []
+    for txt, layout in sections:
+        lvl = size + 1
+        for j, p in enumerate(BULLET_DIALECTS[bull]):
+            if re.match(p, txt.strip()) and not not_bullet(txt):
+                lvl = j
+                break
+        else:
+            if re.search(r"(title|head)", layout or "") and not not_title(txt):
+                lvl = size
+        levels.append(lvl)
+    most = size + 1
+    for level, _cnt in sorted(Counter(levels).items(), key=lambda kv: -kv[1]):
+        if level <= size:
+            most = level
+            break
+    return most, levels
+
+
+def make_colon_as_title(sections: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """A trailing colon-phrase after a >=32-char sentence spawns a synthetic
+    title section before itself (rag/nlp/__init__.py:379-398).
+
+    Note: the reference's guard at :395 tests ``len(arr[1])`` — the *captured
+    separator* (always 1-2 chars) — which makes the operator inert. This
+    engine implements the evident intent: the segment *before* the separator
+    (``arr[2]``) must be >=32 chars."""
+    out: list[tuple[str, str]] = []
+    for txt, layout in sections:
+        t = txt.strip()
+        if t and t[-1] in ":：":
+            rev = t[::-1]
+            arr = re.split(r"([。？！!?;；]| \.)", rev)
+            if len(arr) >= 3 and len(arr[2]) >= 32:
+                out.append((arr[0][::-1], "title"))
+        out.append((txt, layout))
+    return out
+
+
+def remove_contents_table(sections: list[tuple[str, str]], eng: bool) -> list[tuple[str, str]]:
+    """Drop a table-of-contents block: the heading, then every following
+    section until the first whose prefix matches a later real section
+    (rag/nlp/__init__.py:347-376)."""
+    secs = list(sections)
+    i = 0
+    while i < len(secs):
+        head = re.sub(r"( | |　)+", "", secs[i][0].strip(), flags=re.IGNORECASE)
+        if not re.match(
+            r"(contents|目录|目次|tableofcontents|致谢|acknowledge)$", head, re.IGNORECASE
+        ):
+            i += 1
+            continue
+        secs.pop(i)
+        if i >= len(secs):
+            break
+
+        def prefix_of(j: int) -> str:
+            t = secs[j][0].strip()
+            return " ".join(t.split()[:2]) if eng else t[:3]
+
+        prefix = prefix_of(i)
+        while not prefix:
+            secs.pop(i)
+            if i >= len(secs):
+                return secs
+            prefix = prefix_of(i)
+        secs.pop(i)
+        if i >= len(secs) or not prefix:
+            break
+        for j in range(i, min(i + 128, len(secs))):
+            if not re.match(re.escape(prefix), secs[j][0]):
+                continue
+            del secs[i:j]
+            break
+    return secs
+
+
+def naive_merge(
+    sections: list[str],
+    chunk_token_num: int = 128,
+    delimiter: str = "\n。；！？",
+    overlapped_percent: int = 0,
+) -> list[str]:
+    """Greedy token-budget accumulation (rag/nlp/__init__.py:521-563): a new
+    chunk starts once the current one has *exceeded* budget*(100-ov)/100;
+    overlap carries the character tail of the previous chunk; sections larger
+    than the budget are pre-split on the delimiter set."""
+    if not sections:
+        return []
+    cks = [""]
+    tk_nums = [0]
+    keep = (100 - overlapped_percent) / 100.0
+
+    def add(t: str) -> None:
+        tnum = num_tokens(t)
+        if cks[-1] == "" or tk_nums[-1] > chunk_token_num * keep:
+            if overlapped_percent and cks[-1]:
+                prev = cks[-1]
+                t = prev[int(len(prev) * keep):] + t
+            cks.append(t)
+            tk_nums.append(tnum)
+        else:
+            cks[-1] += t
+            tk_nums[-1] += tnum
+
+    dels = get_delimiters(delimiter)
+    dels_re = re.compile(f"^(?:{dels})$") if dels else None
+    for sec in sections:
+        if num_tokens(sec) < chunk_token_num:
+            add(sec)
+            continue
+        for sub in re.split(f"({dels})", sec, flags=re.DOTALL) if dels else [sec]:
+            if not sub or (dels_re and dels_re.match(sub)):
+                continue
+            add(sub)
+
+    return [c for c in cks if c.strip()]
+
+
+def hierarchical_merge(
+    bull: int, sections: list[tuple[str, str]], depth: int
+) -> list[list[str]]:
+    """Outline-driven chunking (rag/nlp/__init__.py:431-518): bucket sections
+    by outline level; for each section at the top ``depth`` levels, walk the
+    most recent ancestor at every deeper level to build a [title-chain...,
+    body] chunk; coalesce singleton chunks while they stay under 218 tokens."""
+    if not sections or bull < 0:
+        return []
+    secs = [
+        (t, o)
+        for t, o in sections
+        if t and len(t.strip()) > 1 and not re.match(r"[0-9]+$", t.strip())
+    ]
+    if not secs:
+        return []
+    size = len(BULLET_DIALECTS[bull])
+    levels: list[list[int]] = [[] for _ in range(size + 2)]
+    for i, (txt, layout) in enumerate(secs):
+        for j, p in enumerate(BULLET_DIALECTS[bull]):
+            if re.match(p, txt.strip()):
+                levels[j].append(i)
+                break
+        else:
+            if re.search(r"(title|head)", layout or "") and not not_title(txt):
+                levels[size].append(i)
+            else:
+                levels[size + 1].append(i)
+    texts = [t for t, _ in secs]
+
+    def most_recent_at_or_before(arr: list[int], target: int) -> int:
+        # rightmost index in arr <= target's predecessor window
+        if not arr:
+            return -1
+        if target > arr[-1]:
+            return len(arr) - 1
+        if target < arr[0]:
+            return -1
+        lo, hi = 0, len(arr)
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if target > arr[mid]:
+                lo = mid
+            else:
+                hi = mid
+        return lo
+
+    cks: list[list[int]] = []
+    readed = [False] * len(texts)
+    rev = levels[::-1]
+    for i, arr in enumerate(rev[:depth]):
+        for j in arr:
+            if readed[j]:
+                continue
+            readed[j] = True
+            cks.append([j])
+            if i + 1 == len(rev) - 1:
+                continue
+            for ii in range(i + 1, len(rev)):
+                jj = most_recent_at_or_before(rev[ii], j)
+                if jj < 0:
+                    continue
+                if rev[ii][jj] > cks[-1][-1]:
+                    cks[-1].pop(-1)
+                cks[-1].append(rev[ii][jj])
+            for ii in cks[-1]:
+                readed[ii] = True
+    if not cks:
+        return []
+    chunks = [[texts[j] for j in ck[::-1]] for ck in cks]
+
+    res: list[list[str]] = [[]]
+    num = [0]
+    for ck in chunks:
+        if len(ck) == 1:
+            n = num_tokens(ck[0])
+            if n + num[-1] < 218:
+                res[-1].append(ck[0])
+                num[-1] += n
+                continue
+            res.append(ck)
+            num.append(n)
+            continue
+        res.append(ck)
+        num.append(218)
+    return [r for r in res if r]
+
+
+_PAPER_BEGIN = re.compile(
+    r"[0-9. 一、i]*(introduction|abstract|摘要|引言|keywords|key words|关键词|"
+    r"background|背景|目录|前言|contents)"
+)
+
+
+def paper_chunk(sections: list[tuple[str, str]]) -> dict:
+    """Paper pivot merge (rag/app/paper.py:86-209): sniff title/authors from
+    the first title box, pull the abstract as an unsplittable chunk, then set
+    a pivot at every section whose outline level <= the doc's most frequent
+    title level and concatenate between pivots."""
+    title, authors = "", []
+    i = 0
+    boxes = sections
+    while i < min(32, len(boxes) - 1):
+        txt, layout = boxes[i]
+        i += 1
+        if "title" in (layout or ""):
+            title = txt
+            if _PAPER_BEGIN.match(title.lower().strip()):
+                title = ""
+                break
+            for j in range(min(3, len(boxes) - i)):
+                if _PAPER_BEGIN.match(boxes[i + j][0].lower().strip()):
+                    break
+                authors.append(boxes[i + j][0])
+                break
+            break
+
+    abstract = ""
+    i = 0
+    while i + 1 < min(32, len(boxes)):
+        txt = boxes[i][0].lower().strip()
+        i += 1
+        if re.match(r"(abstract|摘要)", txt):
+            if len(txt.split()) > 32 or len(txt) > 64:
+                abstract = boxes[i - 1][0]
+                break
+            nxt = boxes[i][0].lower().strip()
+            if len(nxt.split()) > 32 or len(nxt) > 64:
+                abstract = boxes[i][0]
+            i += 1
+            break
+    if not abstract:
+        i = 0
+
+    body = boxes[i:]
+    bull = bullets_category([t for t, _ in body])
+    most_level, levels = title_frequency(bull, body)
+    sec_ids = []
+    sid = 0
+    for k, lvl in enumerate(levels):
+        if lvl <= most_level and k > 0 and lvl != levels[k - 1]:
+            sid += 1
+        sec_ids.append(sid)
+    chunks: list[str] = []
+    last_sid = -2
+    for (txt, _), sec_id in zip(body, sec_ids):
+        if sec_id == last_sid and chunks:
+            chunks[-1] += "\n" + txt
+            continue
+        chunks.append(txt)
+        last_sid = sec_id
+    return {
+        "title": title,
+        "authors": " ".join(authors),
+        "abstract": abstract,
+        "chunks": chunks,
+    }
+
+
+def book_chunk(
+    sections: list[tuple[str, str]],
+    eng: bool,
+    chunk_token_num: int = 256,
+    delimiter: str = "\n。；！？",
+) -> list[str]:
+    """Book dispatch (rag/app/book.py:131-143): colon titles, ToC removal,
+    bullet-dialect detection on the first 100 sections (deterministic stand-in
+    for random_choices), hierarchical merge depth 5, else naive merge 256."""
+    secs = remove_contents_table(sections, eng)
+    secs = make_colon_as_title(secs)
+    bull = bullets_category([t for t, _ in secs[:100]])
+    if bull >= 0:
+        return ["\n".join(ck) for ck in hierarchical_merge(bull, secs, 5)]
+    return naive_merge([t for t, _ in secs], chunk_token_num, delimiter)

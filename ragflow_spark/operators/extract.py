@@ -1,0 +1,144 @@
+"""Spark operators for the extraction pipeline.
+
+Physical layout (SURVEY.md §4.3, north-rule "partitioning / shuffle / skew
+handled explicitly"):
+
+- **strip** is span-local → ``posexplode`` the span arrays, then *salted
+  repartition* on ``(doc_id, offset-block)`` so one giant document's spans
+  spread across the cluster instead of pinning a single task. The stage runs
+  as ``mapInPandas`` (Arrow batches; the kernel is pure Python over batch
+  rows, no Spark-level per-row UDF).
+- **finalize** (layout + assembly + emit) is doc-level and order-dependent →
+  ``applyInPandas`` over ``groupBy(doc_id)``. Inside, the kernel is
+  numpy-vectorized per document; across documents, vectorization comes from
+  Arrow batching. AQE skew-split handles residual partition imbalance.
+- **chunk** is doc-level again but consumes the already-reduced span stream
+  (orders of magnitude smaller than the input), so its shuffle is cheap.
+
+At 100 TB the dominant costs are the input scan (columnar, pruned to
+doc_id+spans) and the one shuffle into finalize; strip's salting bounds the
+largest task by ``salt_block`` spans rather than by the largest document.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ragflow_spark.kernels.extract import chunk_doc, finalize_doc, strip_rows
+from ragflow_spark.schemas import CHUNKS_SCHEMA, OUT_SPANS_SCHEMA
+
+STRIPPED_SCHEMA = (
+    "doc_id string, kind string, text string, media_ref string, "
+    "offset int, sub int"
+)
+
+
+def explode_spans(docs: DataFrame, salt_block: int = 256) -> DataFrame:
+    """(doc_id, spans[]) → one row per span, salted.
+
+    ``salt`` buckets ``offset`` into blocks of ``salt_block`` so a 10^6-span
+    document becomes ~4k independent tasks' worth of rows instead of one hot
+    key. The strip stage never needs whole-doc context, so this is safe."""
+    return (
+        docs.select("doc_id", F.posexplode("spans").alias("idx", "span"))
+        .select(
+            "doc_id",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+        .withColumn("salt", (F.col("offset") / F.lit(salt_block)).cast("int"))
+    )
+
+
+def strip_stage(exploded: DataFrame, repartition: int | None = None) -> DataFrame:
+    """Format parsing (html/md/txt/json) as an Arrow-batched map. Salted
+    repartition spreads giant docs; the map itself is stateless."""
+    df = exploded
+    if repartition:
+        df = df.repartition(repartition, "doc_id", "salt")
+    else:
+        df = df.repartition("doc_id", "salt")
+
+    def run(batches):
+        for pdf in batches:
+            out_rows: list[dict] = []
+            spans = pdf[["doc_id", "kind", "text", "media_ref", "offset"]].to_dict("records")
+            for s in spans:
+                for r in strip_rows([s]):
+                    r["doc_id"] = s["doc_id"]
+                    out_rows.append(r)
+            yield pd.DataFrame(
+                out_rows,
+                columns=["doc_id", "kind", "text", "media_ref", "offset", "sub"],
+            )
+
+    return df.mapInPandas(run, schema=STRIPPED_SCHEMA)
+
+
+def finalize_stage(stripped: DataFrame, html_tables: bool = False) -> DataFrame:
+    """Doc-level layout/assembly/emit: one shuffle on doc_id, then the
+    numpy kernel per document."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = pdf["doc_id"].iloc[0]
+        rows = pdf[["kind", "text", "media_ref", "offset", "sub"]].to_dict("records")
+        out = finalize_doc(rows, html_tables=html_tables)
+        return pd.DataFrame(
+            {
+                "doc_id": [doc_id] * len(out),
+                "seq": [o["seq"] for o in out],
+                "kind": [o["kind"] for o in out],
+                "text": [o["text"] for o in out],
+                "media_ref": [o["media_ref"] for o in out],
+            }
+        )
+
+    return stripped.groupBy("doc_id").applyInPandas(run, schema=OUT_SPANS_SCHEMA)
+
+
+def extract_spans(
+    docs: DataFrame,
+    salt_block: int = 256,
+    html_tables: bool = False,
+    repartition: int | None = None,
+) -> DataFrame:
+    """Full extraction: explode → salted strip → per-doc finalize."""
+    exploded = explode_spans(docs, salt_block=salt_block)
+    stripped = strip_stage(exploded, repartition=repartition)
+    return finalize_stage(stripped, html_tables=html_tables)
+
+
+def chunk_stage(
+    out_spans: DataFrame,
+    chunker: str = "naive",
+    chunk_token_num: int = 512,
+    delimiter: str = "\n!?。；！？",
+    overlapped_percent: int = 0,
+) -> DataFrame:
+    """Template chunking per document over the extracted span stream."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = pdf["doc_id"].iloc[0]
+        spans = pdf[["seq", "kind", "text", "media_ref"]].to_dict("records")
+        chunks = chunk_doc(
+            spans,
+            chunker=chunker,
+            chunk_token_num=chunk_token_num,
+            delimiter=delimiter,
+            overlapped_percent=overlapped_percent,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": [doc_id] * len(chunks),
+                "chunker": [c["chunker"] for c in chunks],
+                "chunk_seq": [c["chunk_seq"] for c in chunks],
+                "text": [c["text"] for c in chunks],
+                "token_count": [c["token_count"] for c in chunks],
+            }
+        )
+
+    return out_spans.groupBy("doc_id").applyInPandas(run, schema=CHUNKS_SCHEMA)

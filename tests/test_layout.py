@@ -1,0 +1,173 @@
+"""Golden micro-tests for the layout kernels (hand-computed expectations)."""
+
+from ragflow_spark.kernels import layout as L
+from ragflow_spark.kernels.assemble import assemble, construct_table
+from ragflow_spark.schemas import PAGE_H
+
+
+def box(text, pn=0, x0=72, x1=500, top=100, bottom=110, kind="text", lo=-1, media_ref=""):
+    return {
+        "kind": kind, "text": text, "media_ref": media_ref,
+        "pn": pn, "x0": float(x0), "x1": float(x1),
+        "top": float(top), "bottom": float(bottom), "lo": lo,
+    }
+
+
+def test_junk_drop():
+    boxes = [box("1 / 12"), box("real text"), box("•••"), box("3 of 9"),
+             box("http://example.com/long/url"), box("(cid:123)")]
+    out = L.drop_junk(boxes)
+    assert [b["text"] for b in out] == ["real text"]
+
+
+def test_garbage_drop_with_keepfeats():
+    boxes = [
+        box("Running header", kind="header", top=20, bottom=32),
+        box("body", kind="text"),
+        # a "header" detected mid-page (top > 10% of page) is kept as text
+        box("mid header", kind="header", top=PAGE_H * 0.5, bottom=PAGE_H * 0.5 + 10),
+        box("Footer", kind="footer", top=760, bottom=772),
+    ]
+    out = L.drop_garbage(boxes)
+    assert [(b["text"], b["kind"]) for b in out] == [("body", "text"), ("mid header", "text")]
+
+
+def test_repeated_garbage_text_dropped_everywhere():
+    boxes = [
+        box("Conf draft", kind="footer", pn=0, top=760, bottom=772),
+        box("Conf draft", kind="footer", pn=1, top=760, bottom=772),
+        box("Conf draft", kind="text", pn=2),  # same text leaked as body
+        box("body", kind="text"),
+    ]
+    out = L.drop_garbage(boxes)
+    assert [b["text"] for b in out] == ["body"]
+
+
+def test_sort_y_banding():
+    boxes = [box("b", x0=300, top=100), box("a", x0=72, top=102), box("c", x0=72, top=130)]
+    out = L.sort_y(boxes, threshold=5.0)
+    assert [b["text"] for b in out] == ["a", "b", "c"]
+
+
+def test_reading_order_two_columns():
+    # two columns x0=54 and x0=320, narrow boxes; interleaved input
+    boxes = []
+    for line in range(3):
+        boxes.append(box(f"L{line}", x0=54, x1=280, top=100 + line * 14, bottom=110 + line * 14))
+        boxes.append(box(f"R{line}", x0=320, x1=550, top=100 + line * 14, bottom=110 + line * 14))
+    out = L.reading_order(boxes)
+    assert [b["text"] for b in out] == ["L0", "L1", "L2", "R0", "R1", "R2"]
+
+
+def test_single_column_untouched():
+    boxes = [box("a", x1=500), box("b", x1=500, top=120, bottom=130)]
+    assert [b["text"] for b in L.reading_order(boxes)] == ["a", "b"]
+
+
+def test_horizontal_merge_same_line():
+    boxes = [
+        box("left part", x0=72, x1=280, top=100, bottom=110),
+        box("right part", x0=285, x1=500, top=100, bottom=110),
+        box("next line", x0=72, x1=500, top=130, bottom=140),
+    ]
+    out = L.horizontal_merge(boxes)
+    assert [b["text"] for b in out] == ["left part right part", "next line"]
+    assert out[0]["x1"] == 500
+
+
+def test_vertical_merge_wrapped_paragraph():
+    boxes = [
+        box("first line of a wrapped", top=100, bottom=110),
+        box("paragraph that ends here.", top=114, bottom=124),
+        box("New paragraph.", top=128, bottom=138),
+    ]
+    out = L.vertical_merge(boxes, is_english=True)
+    assert [b["text"] for b in out] == [
+        "first line of a wrapped paragraph that ends here.",
+        "New paragraph.",
+    ]
+
+
+def test_vertical_merge_respects_sentence_end():
+    boxes = [
+        box("Sentence ends.", top=100, bottom=110),
+        box("next starts", top=114, bottom=124),
+    ]
+    out = L.vertical_merge(boxes, is_english=True)
+    assert len(out) == 2
+
+
+def test_vertical_merge_page_droppings():
+    # a bare page-number box that is the last thing before a page break is
+    # dropped (pdf_parser.py:438-440); the sentence above stays separate
+    # because it ends with '.'
+    boxes = [
+        box("text one.", pn=0, top=700, bottom=710),
+        box("42", pn=0, top=780, bottom=790),
+        box("continues next page.", pn=1, top=72, bottom=82),
+    ]
+    out = L.vertical_merge(boxes, is_english=True)
+    assert [b["text"] for b in out] == ["text one.", "continues next page."]
+
+
+def test_toc_removal_by_prefix():
+    boxes = [
+        box("Contents", top=72),
+        box("Chapter 1 Intro ..... 3", top=86),
+        box("Chapter 2 More ..... 9", top=100),
+        box("Chapter 1 Intro", top=114),
+        box("body text here", top=128),
+    ]
+    out = L.filter_toc(boxes)
+    assert [b["text"] for b in out] == ["Chapter 1 Intro", "body text here"]
+
+
+def test_bullet_merge():
+    boxes = [
+        box("• item one", top=100, bottom=110),
+        box("• item two", top=114, bottom=124),
+        box("plain", top=128, bottom=138),
+    ]
+    out = L.bullet_merge(boxes)
+    assert [b["text"] for b in out] == ["• item one\n• item two", "plain"]
+
+
+def test_construct_table_desc():
+    cells = []
+    headers = ["name", "qty"]
+    for ci, h in enumerate(headers):
+        cells.append(box(h, kind="table", x0=90 + ci * 100, x1=180 + ci * 100, top=100, bottom=110, lo=0))
+    for ri, row in enumerate([["apple", "3"], ["pear", "7"]]):
+        for ci, v in enumerate(row):
+            cells.append(box(v, kind="table", x0=90 + ci * 100, x1=180 + ci * 100,
+                             top=114 + ri * 14, bottom=124 + ri * 14, lo=0))
+    txt = construct_table(cells)
+    assert txt == "name: apple; qty: 3\nname: pear; qty: 7"
+    html = construct_table(cells, html=True)
+    assert html.startswith("<table><tr><th>name</th><th>qty</th></tr>")
+
+
+def test_assemble_caption_to_nearest():
+    cells = [
+        box("h", kind="table", x0=90, x1=180, top=100, bottom=110, lo=0),
+        box("v", kind="table", x0=90, x1=180, top=114, bottom=124, lo=0),
+    ]
+    cap = box("Table 1: stuff", kind="table caption", x0=90, x1=300, top=86, bottom=96)
+    fig = box("", kind="figure", x0=300, x1=400, top=400, bottom=480, lo=1,
+              media_ref="blob://d/0#geom=0,300,400,400,480,1")
+    figcap = box("Figure 1: pic", kind="figure caption", x0=300, x1=400, top=486, bottom=496)
+    body = box("body", top=600, bottom=610)
+    rest, media = assemble([cap, body, fig, figcap] + cells)
+    kinds = sorted(m["kind"] for m in media)
+    assert kinds == ["figure", "table"]
+    tbl = next(m for m in media if m["kind"] == "table")
+    assert tbl["text"].startswith("Table 1: stuff\n")
+    figm = next(m for m in media if m["kind"] == "figure")
+    assert figm["text"] == "Figure 1: pic"
+    assert figm["media_ref"].startswith("blob://d/0")
+    assert [b["text"] for b in rest] == ["body"]
+
+
+def test_credit_line_dropped():
+    boxes = [box("数据来源: internal", kind="table", lo=0), box("keep", kind="text")]
+    assert [b["text"] for b in L.drop_credits(boxes)] == ["keep"]

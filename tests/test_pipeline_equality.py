@@ -1,0 +1,87 @@
+"""The correctness gate (FIXTURES.md §2): the Spark pipeline must equal the
+single-doc pandas oracle on every fixture document under span-sequence
+equality (kind, text, media_ref, order) — and be invariant to partitioning
+(catches nondeterminism / salting bugs)."""
+
+import pytest
+
+from ragflow_spark.datagen import corpus_df, gen_docs
+from ragflow_spark.kernels.extract import chunk_doc, extract_doc
+from ragflow_spark.operators.extract import chunk_stage, extract_spans
+
+N_DOCS = 120
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = corpus_df(spark, seed=SEED, count=N_DOCS, giant_factor=60, partitions=6)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_spans():
+    golden = {}
+    for d in gen_docs(SEED, 0, N_DOCS, giant_factor=60):
+        golden[d["doc_id"]] = [
+            (o["seq"], o["kind"], o["text"], o["media_ref"])
+            for o in extract_doc(d["spans"])
+        ]
+    return golden
+
+
+def collect_spans(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.doc_id, []).append((r.seq, r.kind, r.text, r.media_ref))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def test_spark_equals_oracle(spark, docs, oracle_spans):
+    got = collect_spans(extract_spans(docs))
+    assert set(got) == set(oracle_spans)
+    for doc_id in sorted(oracle_spans):
+        assert got[doc_id] == oracle_spans[doc_id], f"span mismatch in {doc_id}"
+
+
+def test_partition_invariance(spark, docs, oracle_spans):
+    """Same result at a different parallelism / salt layout — the engine's
+    stand-in for the local[2]-vs-local[8] determinism property."""
+    got = collect_spans(extract_spans(docs.repartition(17), salt_block=7))
+    assert got == oracle_spans
+
+
+def test_chunk_stage_equals_oracle(spark, docs, oracle_spans):
+    spans_df = extract_spans(docs).cache()
+    got = {}
+    for r in chunk_stage(spans_df, chunker="naive", chunk_token_num=128).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_seq, r.text, r.token_count))
+    for v in got.values():
+        v.sort()
+    for doc_id, spans in oracle_spans.items():
+        spans_dicts = [
+            {"seq": s, "kind": k, "text": t, "media_ref": m} for s, k, t, m in spans
+        ]
+        expected = [
+            (c["chunk_seq"], c["text"], c["token_count"])
+            for c in chunk_doc(spans_dicts, "naive", 128)
+        ]
+        assert got.get(doc_id, []) == expected, f"chunk mismatch in {doc_id}"
+    spans_df.unpersist()
+
+
+def test_all_profiles_nonempty(spark, docs):
+    from ragflow_spark.datagen import profile_of
+
+    got = collect_spans(extract_spans(docs))
+    by_profile = {}
+    for doc_id, spans in got.items():
+        idx = int(doc_id.split("-")[1])
+        by_profile.setdefault(profile_of(idx), []).append(len(spans))
+    for prof, counts in by_profile.items():
+        assert all(c > 0 for c in counts), f"profile {prof} produced empty docs"
+    assert len(by_profile) == 7
