@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full interleaved-span extraction + chunking
+pipeline (SURVEY.md §2.1-2.4) over a deterministic synthetic corpus plus an
+interleaved wrap of the sf0.001 documents table.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family. Queries
+whose semantics are SQL-expressible carry a DuckDB oracle producing
+bit-identical values (integer-domain aggregation, single-division ratios);
+per-doc sequential extraction kernels and hash-dependent sketches are
+rows-only (no oracle), with their correctness enforced by tests/ against the
+single-doc pandas oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +17,132 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ragflow_spark.datagen import corpus_df
+from ragflow_spark.operators.extract import chunk_stage, extract_spans
+from ragflow_spark.ops import dedup, multimodal, relational, similarity, text
+
+# corpus size per driver scale factor (extraction queries synthesize their
+# interleaved input — there is no spans table in the driver testdata)
+_SF_COUNT = {"0.001": 80, "0.01": 200, "0.1": 2000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)
+    return tail[1] if len(tail) == 2 else "0.01"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_df(spark, seed=42, count=_SF_COUNT.get(_sf_of(sf_dir), 200))
+
+
+def _interleave_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the driver's documents table into the interleaved-span input
+    shape (one txt span per document)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    span = F.struct(
+        F.lit("txt").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return docs.select(
+        F.concat(F.lit("tbl-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(span).alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction + naive chunking over synthetic interleaved docs
+    unioned with the wrapped sf0.001 documents table."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _corpus(spark, sf_dir).unionByName(
+        _interleave_documents(spark, sf_dir)
+    )
+    spans = extract_spans(docs)
+    return chunk_stage(spans, chunker="naive", chunk_token_num=512)
+
+
+# ------------------------------------------------------------------ queries
+
+
+def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_spans(_corpus(spark, sf_dir))
+
+
+def _mk_chunk(chunker: str, budget: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spans = extract_spans(_corpus(spark, sf_dir))
+        return chunk_stage(spans, chunker=chunker, chunk_token_num=budget)
+
+    return q
+
+
+def _q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_inventory(spark, sf_dir)
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(spark, sf_dir)
+    return multimodal.image_features(media)
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(spark, sf_dir)
+    return multimodal.sample_frames(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction core (SURVEY.md §2.1-2.2; rows-only — per-doc kernels)
+        "extract_spans": _q_extract,
+        "chunk_naive": _mk_chunk("naive", 512),
+        "chunk_book": _mk_chunk("book", 256),
+        "chunk_paper": _mk_chunk("paper", 512),
+        # text analysis (SQL-oracled)
+        "token_stats": text.token_stats,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "fingerprint": text.fingerprint,
+        # dedup family
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_pairs,  # rows-only (hash-dependent)
+        "embedding_neardup": dedup.embedding_neardup,
+        # similarity search
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_ivf": similarity.knn_ivf,  # rows-only (ANN; recall tested)
+        # relational surface
+        "pricing_summary": relational.pricing_summary,
+        "top_revenue_orders": relational.top_revenue_orders,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "sessionize": relational.sessionize,
+        "doc_aggs": relational.doc_aggs,
+        "tag_aggs": relational.tag_aggs,
+        # multimodal plumbing (rows-only — stubbed decode)
+        "media_inventory": _q_media_inventory,
+        "image_features": _q_image_features,
+        "frame_sample": _q_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_stats": text.TOKEN_STATS_SQL,
+        "lang_id": text.LANG_ID_SQL,
+        "quality_score": text.QUALITY_SQL,
+        "fingerprint": text.FINGERPRINT_SQL,
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": dedup.MINHASH_LSH_SQL,
+        "embedding_neardup": dedup.EMBEDDING_NEARDUP_SQL,
+        "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
+        "pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "top_revenue_orders": relational.TOP_REVENUE_SQL,
+        "top_orders_per_customer": relational.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "sessionize": relational.SESSIONIZE_SQL,
+        "doc_aggs": relational.DOC_AGGS_SQL,
+        "tag_aggs": relational.TAG_AGGS_SQL,
+    }

@@ -1,0 +1,75 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Headline metric: total wall seconds across the query set. Also reports
+extraction throughput (docs/sec over the synthetic interleaved corpus) as an
+extra key — the north-rule metric.
+
+Usage: python bench.py [--sf-dir DIR] [--cpus N] [--docs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument(
+        "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    )
+    ap.add_argument("--docs", type=int, default=None, help="extraction corpus size")
+    ap.add_argument("--queries", default="", help="comma-separated subset")
+    args = ap.parse_args()
+
+    from ragflow_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(cores=args.cpus, app_name="ragflow_spark_bench")
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if args.docs is not None:
+        entrymod._SF_COUNT[sf] = args.docs
+
+    qs = entrymod.queries()
+    subset = [q for q in args.queries.split(",") if q] or list(qs)
+    timings: dict[str, float] = {}
+    n_extract_docs = entrymod._SF_COUNT.get(sf, 200)
+    for name in subset:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, args.sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    extra = {}
+    if "extract_spans" in timings and timings["extract_spans"] > 0:
+        extra["extract_docs_per_sec"] = round(
+            n_extract_docs / timings["extract_spans"], 2
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "total query wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

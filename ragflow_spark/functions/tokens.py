@@ -39,8 +39,8 @@ SPARK_SQL_EXPR = (
 )
 DUCKDB_SQL_EXPR = (
     "(length(regexp_extract_all({c}, '[A-Za-z0-9]{{1,4}}')) "
-    "+ length(regexp_extract_all({c}, '[\\u4e00-\\u9fff]')) "
-    "+ length(regexp_extract_all({c}, '[^\\sA-Za-z0-9\\u4e00-\\u9fff]{{1,3}}')))"
+    "+ length(regexp_extract_all({c}, '[\\x{{4e00}}-\\x{{9fff}}]')) "
+    "+ length(regexp_extract_all({c}, '[^\\sA-Za-z0-9\\x{{4e00}}-\\x{{9fff}}]{{1,3}}')))"
 )
 
 

