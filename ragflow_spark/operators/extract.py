@@ -79,14 +79,26 @@ def strip_stage(exploded: DataFrame, repartition: int | None = None) -> DataFram
     return df.mapInPandas(run, schema=STRIPPED_SCHEMA)
 
 
-def finalize_stage(stripped: DataFrame, html_tables: bool = False) -> DataFrame:
+def finalize_stage(
+    stripped: DataFrame, html_tables: bool = False, capture_errors: bool = False
+) -> DataFrame:
     """Doc-level layout/assembly/emit: one shuffle on doc_id, then the
-    numpy kernel per document."""
+    numpy kernel per document.
+
+    capture_errors: a doc whose kernel raises emits a single
+    ``kind='__error__'`` marker row (text = exception repr) instead of
+    failing the task — the pipeline layer turns these into
+    ``failure_count`` lineage metrics and drops them from the output."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_id = pdf["doc_id"].iloc[0]
         rows = pdf[["kind", "text", "media_ref", "offset", "sub"]].to_dict("records")
-        out = finalize_doc(rows, html_tables=html_tables)
+        try:
+            out = finalize_doc(rows, html_tables=html_tables)
+        except Exception as e:  # noqa: BLE001 — per-doc isolation
+            if not capture_errors:
+                raise
+            out = [{"seq": 0, "kind": "__error__", "text": repr(e), "media_ref": ""}]
         return pd.DataFrame(
             {
                 "doc_id": [doc_id] * len(out),

@@ -1,0 +1,123 @@
+"""Dedup + similarity operators on a planted fixture corpus (exact dups,
+near-dups, embedding clusters) written as a tmp sf_dir."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ragflow_spark.ops import dedup, similarity
+
+BASE = (
+    "spark window shuffle partition broadcast data column batch arrow engine "
+    "scan filter join group order token chunk merge layout table"
+).split()
+
+
+def _doc_text(i: int) -> str:
+    rng = np.random.default_rng(1000 + i)
+    return " ".join(rng.choice(BASE, size=60))
+
+
+@pytest.fixture(scope="module")
+def sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("opsdata")
+    texts, ids = [], []
+    for i in range(40):
+        ids.append(i)
+        texts.append(_doc_text(i))
+    # exact dup: 100 == copy of 0 (modulo whitespace/case)
+    ids.append(100)
+    texts.append("  " + texts[0].upper() + "  ")
+    # near dup: 101 == 1 with one word changed
+    w = texts[1].split()
+    w[5] = "changed"
+    ids.append(101)
+    texts.append(" ".join(w))
+    docs = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * len(ids),
+            "source": ["s0"] * len(ids),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(d / "documents.parquet")
+
+    # embeddings: 4 tight clusters of 10 + 2 planted near-identical vectors
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16))
+    vecs, vids = [], []
+    for i in range(40):
+        c = centers[i % 4]
+        vecs.append((c + 0.05 * rng.normal(size=16)).astype(np.float32))
+        vids.append(i)
+    vecs.append((vecs[0] + 0.001).astype(np.float32))
+    vids.append(100)
+    emb = pd.DataFrame(
+        {
+            "vec_id": vids,
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [i % 4 for i in range(len(vids))],
+        }
+    )
+    emb.to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def test_exact_dedup(spark, sf_dir):
+    out = dedup.exact_dedup(spark, sf_dir).toPandas().set_index("doc_id")
+    assert bool(out.loc[100, "is_dup"])
+    assert out.loc[100, "keep_id"] == 0
+    assert not out.loc[1, "is_dup"]
+
+
+def test_ngram_jaccard_and_minhash_agree(spark, sf_dir):
+    exact = dedup.ngram_jaccard_pairs(spark, sf_dir).toPandas()
+    pairs = {(r.doc_a, r.doc_b) for r in exact.itertuples()}
+    assert (1, 101) in pairs  # planted near-dup (one word changed)
+    assert (0, 100) in pairs  # case/whitespace-changed copy: jaccard 1.0 after lower()
+    mh = dedup.minhash_lsh_pairs(spark, sf_dir).toPandas()
+    mh_pairs = {(r.doc_a, r.doc_b) for r in mh.itertuples()}
+    assert mh_pairs == pairs  # LSH recall 1.0 on planted dups + exact verify
+
+
+def test_simhash_finds_neardups(spark, sf_dir):
+    out = dedup.simhash_pairs(spark, sf_dir, max_hamming=7).toPandas()
+    pairs = {(r.doc_a, r.doc_b) for r in out.itertuples()}
+    assert (0, 100) in pairs  # same token multiset → identical simhash
+    assert (1, 101) in pairs
+
+
+def test_embedding_neardup_vs_numpy(spark, sf_dir):
+    out = dedup.embedding_neardup(spark, sf_dir, threshold=0.9, blocks=4).toPandas()
+    got = {(r.id_a, r.id_b) for r in out.itertuples()}
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ids = emb["vec_id"].to_numpy()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.9:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert got == want
+    assert (0, 100) in got  # planted near-identical vector
+
+
+def test_knn_ivf_recall(spark, sf_dir):
+    bf = similarity.knn_bruteforce(spark, sf_dir, k=5, query_mod=10).toPandas()
+    ivf = similarity.knn_ivf(
+        spark, sf_dir, k=5, query_mod=10, nlist=4, nprobe=2
+    ).toPandas()
+    bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+    ivf_sets = ivf.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q])
+        for q in bf_sets.index
+    ]
+    # tight clusters → probing 2/4 lists should catch most true neighbors
+    assert np.mean(recalls) >= 0.8

@@ -1,0 +1,81 @@
+"""Checkpoint/resume + lineage metrics (FIXTURES.md §4; north rule:
+snapshot-granularity resume, per-partition lineage rows)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ragflow_spark.datagen import corpus_df
+from ragflow_spark.operators.extract import extract_spans
+from ragflow_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return corpus_df(spark, seed=11, count=40).cache()
+
+
+def test_kill_resume_and_equality(spark, docs, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("ckpt"))
+
+    # phase 1: "killed" after the extract stage committed
+    r1 = run_pipeline(spark, docs, base, run_id="r1", stop_after="extract")
+    assert not r1.stages["strip"].resumed
+    assert not r1.stages["extract"].resumed
+    snap_strip = r1.stages["strip"].snapshot_id
+    snap_extract = r1.stages["extract"].snapshot_id
+
+    # phase 2: resume — strip/extract must NOT be recomputed
+    r2 = run_pipeline(spark, docs, base, run_id="r2")
+    assert r2.stages["strip"].resumed
+    assert r2.stages["extract"].resumed
+    assert r2.stages["strip"].snapshot_id == snap_strip
+    assert r2.stages["extract"].snapshot_id == snap_extract
+    assert not r2.stages["chunk"].resumed
+
+    # resumed output ≡ direct (non-checkpointed) computation
+    direct = extract_spans(docs)
+    got = {tuple(r) for r in r2.spans.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want
+
+    # lineage metrics cover every stage; span counts match the outputs
+    m = r2.run.metrics()
+    by_stage = {
+        r["stage"]: r
+        for r in m.groupBy("stage")
+        .agg(
+            F.sum("span_count").alias("spans"),
+            F.sum("doc_count").alias("docs"),
+            F.sum("failure_count").alias("failures"),
+        )
+        .collect()
+    }
+    assert set(by_stage) == {"strip", "extract", "chunk"}
+    assert by_stage["extract"]["spans"] == len(want)
+    assert by_stage["extract"]["failures"] == 0
+    assert by_stage["chunk"]["spans"] == r2.chunks.count()
+
+
+def test_failure_capture_lineage(spark, tmp_path_factory):
+    """A malformed doc (unparseable geom ref → kernel raises) becomes a
+    failure_count lineage row, not a task failure; healthy docs survive."""
+    base = str(tmp_path_factory.mktemp("ckpt_fail"))
+    bad = spark.createDataFrame(
+        [
+            ("doc-bad", [{"kind": "text", "text": "x", "media_ref": "geom://1,a,b,c,d", "offset": 0}]),
+            ("doc-ok", [{"kind": "txt", "text": "hello world", "media_ref": "", "offset": 0}]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    r = run_pipeline(spark, bad, base, run_id="rf")
+    out = r.spans.collect()
+    assert {x["doc_id"] for x in out} == {"doc-ok"}
+    failures = (
+        r.run.metrics()
+        .where(F.col("stage") == "extract")
+        .agg(F.sum("failure_count"))
+        .first()[0]
+    )
+    assert failures == 1
