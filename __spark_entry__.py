@@ -21,7 +21,16 @@ from pyspark.sql import functions as F
 
 from ragflow_spark.datagen import corpus_df
 from ragflow_spark.operators.extract import chunk_stage, extract_spans
-from ragflow_spark.ops import dedup, multimodal, relational, similarity, text
+from ragflow_spark.ops import (
+    assembly,
+    dedup,
+    multimodal,
+    relational,
+    retrieval,
+    schema_infer,
+    similarity,
+    text,
+)
 
 # corpus size per driver scale factor (extraction queries synthesize their
 # interleaved input — there is no spans table in the driver testdata)
@@ -50,6 +59,7 @@ def _interleave_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.concat(F.lit("tbl-"), F.col("doc_id").cast("string")).alias("doc_id"),
         F.array(span).alias("spans"),
+        F.lit(1).alias("n_spans"),
     )
 
 
@@ -100,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_naive": _mk_chunk("naive", 512),
         "chunk_book": _mk_chunk("book", 256),
         "chunk_paper": _mk_chunk("paper", 512),
+        "chunk_one": lambda spark, sf_dir: assembly.one_chunk(
+            extract_spans(_corpus(spark, sf_dir))
+        ),
+        "table_rows_to_docs": assembly.table_rows_to_docs,
         # text analysis (SQL-oracled)
         "token_stats": text.token_stats,
         "lang_id": text.lang_id,
@@ -121,6 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": relational.sessionize,
         "doc_aggs": relational.doc_aggs,
         "tag_aggs": relational.tag_aggs,
+        # retrieval surface (SURVEY.md §2.6)
+        "term_idf": retrieval.term_idf,
+        "hybrid_search": retrieval.hybrid_search,
+        # schema inference (rag/app/table.py:263-299 analog)
+        "infer_column_types": schema_infer.infer_column_types,
         # multimodal plumbing (rows-only — stubbed decode)
         "media_inventory": _q_media_inventory,
         "image_features": _q_image_features,
@@ -145,4 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": relational.SESSIONIZE_SQL,
         "doc_aggs": relational.DOC_AGGS_SQL,
         "tag_aggs": relational.TAG_AGGS_SQL,
+        "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
+        "term_idf": retrieval.TERM_IDF_SQL,
+        "hybrid_search": retrieval.HYBRID_SEARCH_SQL,
+        "infer_column_types": schema_infer.INFER_COLUMN_TYPES_SQL,
     }

@@ -51,8 +51,28 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # headline: python-native-source end-to-end extraction throughput
     extra = {}
+    if not args.queries:
+        import tempfile
+
+        from ragflow_spark.datagen import write_corpus
+        from ragflow_spark.sources.parquet_spans import extract_chunks_native
+
+        n_native = max(n_extract_docs * 4, 2000)
+        corpus = os.path.join(
+            tempfile.gettempdir(), f"bench_corpus_{sf}_{n_native}"
+        )
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            write_corpus(spark, corpus, count=n_native)
+        t0 = time.time()
+        extract_chunks_native(spark, corpus).count()
+        timings["extract_chunks_native"] = round(time.time() - t0, 3)
+        extra["native_docs_per_sec"] = round(
+            n_native / timings["extract_chunks_native"], 2
+        )
+
+    total = round(sum(timings.values()), 3)
     if "extract_spans" in timings and timings["extract_spans"] > 0:
         extra["extract_docs_per_sec"] = round(
             n_extract_docs / timings["extract_spans"], 2

@@ -294,7 +294,36 @@ def corpus_df(spark, seed: int = 42, count: int = 200, giant_factor: int = 100,
                         [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
                         for r in rows
                     ],
+                    # span-count stats column: parquet min/max on it lets the
+                    # giant-doc filter prune row groups without decoding spans
+                    "n_spans": [len(r["spans"]) for r in rows],
                 }
             )
 
-    return idx.mapInPandas(gen_batch, schema=DOCS_SCHEMA).hint("rebalance")
+    # StructType.add mutates in place — build a fresh schema each call
+    from pyspark.sql import types as T
+    schema = T.StructType(
+        list(DOCS_SCHEMA.fields) + [T.StructField("n_spans", T.IntegerType(), False)]
+    )
+    return idx.mapInPandas(gen_batch, schema=schema)
+
+
+def write_corpus(
+    spark,
+    path: str,
+    count: int,
+    seed: int = 42,
+    giant_factor: int = 100,
+    partitions: int | None = None,
+    row_group_bytes: int = 2 * 1024 * 1024,
+) -> None:
+    """Materialize a corpus parquet tuned for the python-native reader:
+    small row groups give the split planner fine-grained, well-balanced
+    tasks (row group = the scheduling and salting unit)."""
+    (
+        corpus_df(spark, seed=seed, count=count, giant_factor=giant_factor,
+                  partitions=partitions)
+        .write.mode("overwrite")
+        .option("parquet.block.size", row_group_bytes)
+        .parquet(path)
+    )

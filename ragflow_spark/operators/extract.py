@@ -26,7 +26,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ragflow_spark.kernels.extract import chunk_doc, finalize_doc, strip_rows
+from ragflow_spark.kernels.extract import (
+    chunk_doc,
+    extract_doc,
+    finalize_doc,
+    strip_rows,
+)
 from ragflow_spark.schemas import CHUNKS_SCHEMA, OUT_SPANS_SCHEMA
 
 STRIPPED_SCHEMA = (
@@ -112,16 +117,146 @@ def finalize_stage(
     return stripped.groupBy("doc_id").applyInPandas(run, schema=OUT_SPANS_SCHEMA)
 
 
+def whole_doc_stage(docs: DataFrame, html_tables: bool = False) -> DataFrame:
+    """Zero-shuffle extraction for docs whose span array fits one task: the
+    input row already holds the whole document, so strip+finalize run in a
+    single ``mapInPandas`` pass — no explode, no regroup, one Arrow hop.
+    This is the common path; the exploded/salted path below exists for the
+    giant-doc tail."""
+
+    def run(batches):
+        for pdf in batches:
+            ids: list[str] = []
+            out_rows: list[dict] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                recs = [
+                    {
+                        "kind": s["kind"],
+                        "text": s["text"],
+                        "media_ref": s["media_ref"],
+                        "offset": s["offset"],
+                    }
+                    for s in spans
+                ]
+                for o in extract_doc(recs, html_tables=html_tables):
+                    ids.append(doc_id)
+                    out_rows.append(o)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "seq": [o["seq"] for o in out_rows],
+                    "kind": [o["kind"] for o in out_rows],
+                    "text": [o["text"] for o in out_rows],
+                    "media_ref": [o["media_ref"] for o in out_rows],
+                }
+            )
+
+    return docs.mapInPandas(run, schema=OUT_SPANS_SCHEMA)
+
+
+GIANT_SPAN_THRESHOLD = 2048
+
+
 def extract_spans(
     docs: DataFrame,
     salt_block: int = 256,
     html_tables: bool = False,
     repartition: int | None = None,
+    giant_threshold: int = GIANT_SPAN_THRESHOLD,
 ) -> DataFrame:
-    """Full extraction: explode → salted strip → per-doc finalize."""
-    exploded = explode_spans(docs, salt_block=salt_block)
-    stripped = strip_stage(exploded, repartition=repartition)
-    return finalize_stage(stripped, html_tables=html_tables)
+    """Full extraction with explicit skew routing:
+
+    - spans < giant_threshold (≈all docs): whole-doc single-pass map,
+      ZERO shuffles — input scan → Arrow batch → output.
+    - spans ≥ giant_threshold (heavy tail): explode → salted strip (spreads
+      one document's spans across the cluster) → per-doc finalize regroup.
+
+    Both paths run the identical kernels (tests assert equality), so the
+    threshold is purely a physical-plan knob. ``giant_threshold=0`` forces
+    the exploded path everywhere (used by tests and the skew bench)."""
+    if giant_threshold <= 0:
+        exploded = explode_spans(docs, salt_block=salt_block)
+        stripped = strip_stage(exploded, repartition=repartition)
+        return finalize_stage(stripped, html_tables=html_tables)
+    small = docs.where(F.size("spans") < giant_threshold)
+    giant = docs.where(F.size("spans") >= giant_threshold)
+    small_out = whole_doc_stage(small, html_tables=html_tables)
+    giant_out = finalize_stage(
+        strip_stage(explode_spans(giant, salt_block=salt_block), repartition=repartition),
+        html_tables=html_tables,
+    )
+    return small_out.unionByName(giant_out)
+
+
+def extract_chunks_fused(
+    docs: DataFrame,
+    chunker: str = "naive",
+    chunk_token_num: int = 512,
+    delimiter: str = "\n!?。；！？",
+    overlapped_percent: int = 0,
+    html_tables: bool = False,
+    giant_threshold: int = GIANT_SPAN_THRESHOLD,
+) -> DataFrame:
+    """End-to-end extract+chunk in ONE pass for non-giant docs (zero
+    shuffles input→chunks); giant docs fall back to the staged path whose
+    chunk step shuffles only the reduced span stream."""
+
+    def run(batches):
+        for pdf in batches:
+            ids: list[str] = []
+            rows: list[dict] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                recs = [
+                    {
+                        "kind": s["kind"],
+                        "text": s["text"],
+                        "media_ref": s["media_ref"],
+                        "offset": s["offset"],
+                    }
+                    for s in spans
+                ]
+                out = extract_doc(recs, html_tables=html_tables)
+                for c in chunk_doc(
+                    out,
+                    chunker=chunker,
+                    chunk_token_num=chunk_token_num,
+                    delimiter=delimiter,
+                    overlapped_percent=overlapped_percent,
+                ):
+                    ids.append(doc_id)
+                    rows.append(c)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunker": [c["chunker"] for c in rows],
+                    "chunk_seq": [c["chunk_seq"] for c in rows],
+                    "text": [c["text"] for c in rows],
+                    "token_count": [c["token_count"] for c in rows],
+                }
+            )
+
+    small = docs.where(F.size("spans") < giant_threshold)
+    giant = docs.where(F.size("spans") >= giant_threshold)
+    small_chunks = small.mapInPandas(run, schema=CHUNKS_SCHEMA)
+    giant_spans = finalize_stage(
+        strip_stage(explode_spans(giant)), html_tables=html_tables
+    )
+    giant_chunks = chunk_stage(
+        giant_spans,
+        chunker=chunker,
+        chunk_token_num=chunk_token_num,
+        delimiter=delimiter,
+        overlapped_percent=overlapped_percent,
+    )
+    return small_chunks.unionByName(giant_chunks)
+
+
+def with_chunk_ids(chunks: DataFrame) -> DataFrame:
+    """Stable content-addressed chunk ids (reference:
+    rag/svr/task_executor.py:287 — xxhash64(content + doc_id)); built-in
+    ``F.xxhash64``, no UDF. Idempotent re-runs produce identical ids, which
+    is what makes sink upserts and digest-based reuse possible."""
+    return chunks.withColumn("chunk_id", F.xxhash64("text", "doc_id"))
 
 
 def chunk_stage(

@@ -328,7 +328,7 @@ def embedding_neardup(
 
     thr = float(threshold)
 
-    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bp, bq = key
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         ids = pdf["vec_id"].to_numpy()

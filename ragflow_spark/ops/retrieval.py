@@ -1,0 +1,144 @@
+"""Retrieval-side operators (reference: rag/nlp/term_weight.py,
+rag/nlp/search.py — documented in SURVEY.md §2.6). Rebuilt as DataFrame ops:
+
+- ``term_idf``: corpus document-frequency + idf per token (the reference's
+  term weighting backbone, term_weight.py:162-244).
+- ``hybrid_search``: fulltext token-overlap similarity fused with dense
+  cosine ``0.05·text + 0.95·vector`` (search.py:100-133, FusionExpr) and a
+  window top-k (search.py:355-381).
+
+Scale: the token df aggregation is one shuffle with map-side combine; the
+query side of hybrid search is broadcast (queries ≪ corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ragflow_spark.ops.tables import load
+
+TOP_K = 10
+QUERY_MOD = 100  # query docs: doc_id % QUERY_MOD == 0
+
+
+def term_idf(spark: SparkSession, sf_dir: str, min_df: int = 2) -> DataFrame:
+    """(token, df, idf_r6) over the documents corpus;
+    idf = ln((N+1)/(df+1)) rounded to 6 (absorbs last-ulp libm diffs)."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select(
+            "token",
+            "df",
+            F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6).alias(
+                "idf_r6"
+            ),
+        )
+    )
+
+
+TERM_IDF_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT token, count(*) AS df,
+       round(ln(((SELECT n_docs FROM n) + 1.0) / (count(*) + 1.0)), 6) AS idf_r6
+FROM tok WHERE token <> ''
+GROUP BY token HAVING count(*) >= 2
+"""
+
+
+def hybrid_search(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """Per query doc: fused = 0.05·(token overlap / |query tokens|) +
+    0.95·cosine(query vec, doc vec); top-k by (fused desc, id). The query
+    side (docs ∪ vectors) broadcasts against the corpus."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "toks"
+        ),
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    vec = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double") / norm).alias("v")
+    )
+    corpus = docs.join(vec, docs.doc_id == vec.vec_id).select("doc_id", "toks", "v")
+    q = corpus.where(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("toks").alias("qtoks"),
+        F.col("v").alias("qv"),
+    )
+    cos = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    text_sim = F.size(F.array_intersect("qtoks", "toks")) / F.size("qtoks")
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.lit(0.05) * text_sim + F.lit(0.95) * cos, 6).alias("fused_r6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("fused_r6"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "fused_r6")
+    )
+
+
+HYBRID_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+  FROM documents),
+vecs AS (
+  SELECT vec_id,
+         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        x -> x / sqrt(list_dot_product(
+                             list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                             list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS v
+  FROM embeddings),
+corpus AS (
+  SELECT doc_id, toks, v FROM toks JOIN vecs ON doc_id = vec_id),
+q AS (
+  SELECT doc_id AS query_id, toks AS qtoks, v AS qv
+  FROM corpus WHERE doc_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.doc_id,
+         round(0.05 * (len(list_intersect(q.qtoks, c.toks)) * 1.0 / len(q.qtoks))
+               + 0.95 * list_dot_product(q.qv, c.v), 6) AS fused_r6
+  FROM corpus c, q WHERE c.doc_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY fused_r6 DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, fused_r6
+FROM ranked WHERE rank <= {TOP_K}
+"""

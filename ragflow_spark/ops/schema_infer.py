@@ -1,0 +1,84 @@
+"""Schema inference: majority-vote column typing.
+
+Reference analog: ``column_data_type`` infers int/float/bool/datetime/text
+per Excel column by majority vote (rag/app/table.py:263-299; cell block
+types deepdoc/vision/table_structure_recognizer.py:104-133). Here the same
+operator runs over a stringified long table (column, value) — one narrow
+shuffle on the column key, regex classification JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ragflow_spark.ops.tables import load
+
+# classification regexes — valid in both Java regex and RE2
+RE_INT = "^-?[0-9]+$"
+RE_FLOAT = "^-?[0-9]+\\.[0-9]+$"
+RE_BOOL = "^(true|false)$"
+RE_DATE = "^[0-9]{4}-[0-9]{2}-[0-9]{2}([ T].*)?$"
+
+
+def _classify(col):
+    return (
+        F.when(col.rlike(RE_INT), F.lit("int"))
+        .when(col.rlike(RE_FLOAT), F.lit("float"))
+        .when(col.rlike(RE_BOOL), F.lit("bool"))
+        .when(col.rlike(RE_DATE), F.lit("datetime"))
+        .otherwise(F.lit("text"))
+    )
+
+
+def infer_column_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stringify the events table, unpivot to (column, value), classify each
+    cell, majority-vote per column (ties broken by type name order)."""
+    ev = load(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    long_df = None
+    for c in cols:
+        part = ev.select(
+            F.lit(c).alias("col_name"), F.col(c).cast("string").alias("str_val")
+        )
+        long_df = part if long_df is None else long_df.unionByName(part)
+    votes = (
+        long_df.where(F.col("str_val").isNotNull())
+        .select("col_name", _classify(F.col("str_val")).alias("cell_type"))
+        .groupBy("col_name", "cell_type")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("col_name").orderBy(F.desc("n"), F.asc("cell_type"))
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("col_name", F.col("cell_type").alias("inferred_type"), "n")
+    )
+
+
+INFER_COLUMN_TYPES_SQL = f"""
+WITH long_t AS (
+  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS str_val FROM events
+  UNION ALL SELECT 'ts', strftime(ts, '%Y-%m-%d %H:%M:%S.%f') FROM events
+  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL SELECT 'event_type', event_type FROM events
+  UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+  UNION ALL SELECT 'props', props FROM events),
+votes AS (
+  SELECT col_name,
+         CASE WHEN regexp_matches(str_val, '{RE_INT}') THEN 'int'
+              WHEN regexp_matches(str_val, '{RE_FLOAT}') THEN 'float'
+              WHEN regexp_matches(str_val, '{RE_BOOL}') THEN 'bool'
+              WHEN regexp_matches(str_val, '{RE_DATE}') THEN 'datetime'
+              ELSE 'text' END AS cell_type
+  FROM long_t WHERE str_val IS NOT NULL),
+counts AS (
+  SELECT col_name, cell_type, count(*) AS n FROM votes GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY col_name
+                               ORDER BY n DESC, cell_type ASC) AS rk
+  FROM counts)
+SELECT col_name, cell_type AS inferred_type, n FROM ranked WHERE rk = 1
+"""

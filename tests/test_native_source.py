@@ -1,0 +1,70 @@
+"""Python-native parquet source ≡ DataFrame path (including the giant-doc
+routing split)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ragflow_spark.datagen import write_corpus
+from ragflow_spark.operators.extract import extract_chunks_fused, extract_spans
+from ragflow_spark.sources.parquet_spans import (
+    extract_chunks_native,
+    extract_spans_native,
+    plan_splits,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("native") / "corpus")
+    write_corpus(spark, p, count=120, seed=5, partitions=4,
+                 row_group_bytes=256 * 1024)
+    return p
+
+
+def test_split_planning(corpus_path):
+    splits, may_have_giants = plan_splits(corpus_path, target_rows=30)
+    assert len(splits) >= 4
+    for path, a, b in splits:
+        assert b > a
+    # metadata-only giant detection: threshold above every doc → provably none
+    _, g_hi = plan_splits(corpus_path, target_rows=30, giant_threshold=10**6)
+    assert g_hi is False
+    # threshold below the biggest fixture docs → giants detected
+    _, g_lo = plan_splits(corpus_path, target_rows=30, giant_threshold=120)
+    assert g_lo is True
+
+
+def test_spans_native_equals_dataframe_path(spark, corpus_path):
+    native = {
+        (r.doc_id, r.seq, r.kind, r.text, r.media_ref)
+        for r in extract_spans_native(spark, corpus_path, giant_threshold=120).collect()
+    }
+    df_path = {
+        (r.doc_id, r.seq, r.kind, r.text, r.media_ref)
+        for r in extract_spans(spark.read.parquet(corpus_path)).collect()
+    }
+    assert native == df_path
+
+
+def test_chunks_native_equals_fused_with_giant_routing(spark, corpus_path):
+    # giant_threshold=120 forces a real split: some fixture docs exceed it
+    native = {
+        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        for r in extract_chunks_native(
+            spark, corpus_path, giant_threshold=120
+        ).collect()
+    }
+    fused = {
+        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        for r in extract_chunks_fused(spark.read.parquet(corpus_path)).collect()
+    }
+    assert native == fused
+    # both routing branches actually ran
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(corpus_path, format="parquet").to_table(columns=["n_spans"])
+    n_spans = tbl.column("n_spans").to_pylist()
+    assert any(n >= 120 for n in n_spans), "fixture lacks giant docs"
+    assert any(n < 120 for n in n_spans)

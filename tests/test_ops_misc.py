@@ -1,0 +1,48 @@
+"""Codec sniffing, whole-doc chunker, chunk ids."""
+
+from __future__ import annotations
+
+from ragflow_spark.datagen import corpus_df
+from ragflow_spark.functions.encoding import decode_blob, find_codec
+from ragflow_spark.operators.extract import (
+    chunk_stage,
+    extract_spans,
+    with_chunk_ids,
+)
+from ragflow_spark.ops.assembly import one_chunk
+
+
+def test_find_codec():
+    assert find_codec("hello".encode()) == "utf-8"
+    assert find_codec("数据分析".encode()) == "utf-8"
+    assert find_codec("数据".encode("gb18030")) == "gb18030"
+    assert find_codec(b"\xef\xbb\xbfabc") == "utf-8-sig"
+    assert find_codec("caf\xe9".encode("latin-1")) in ("gb18030", "big5", "shift_jis", "latin-1")
+    assert find_codec(b"") == "utf-8"
+    # round trip through decode_blob never raises
+    for blob in (b"\xff\xfeh\x00i\x00", b"\x80\x81\x82", "日本語".encode("shift_jis")):
+        assert isinstance(decode_blob(blob), str)
+
+
+def test_one_chunk_preserves_order(spark):
+    docs = corpus_df(spark, seed=21, count=30).cache()
+    spans = extract_spans(docs).cache()
+    out = {r.doc_id: r.text for r in one_chunk(spans).collect()}
+    per_doc = {}
+    for r in spans.collect():
+        per_doc.setdefault(r.doc_id, []).append((r.seq, r.text))
+    for doc_id, items in per_doc.items():
+        want = "\n".join(t for _, t in sorted(items))
+        assert out[doc_id] == want
+
+
+def test_chunk_ids_stable_and_unique_per_doc(spark):
+    docs = corpus_df(spark, seed=21, count=30).cache()
+    chunks = with_chunk_ids(chunk_stage(extract_spans(docs))).cache()
+    a = {(r.doc_id, r.chunk_seq): r.chunk_id for r in chunks.collect()}
+    b = {
+        (r.doc_id, r.chunk_seq): r.chunk_id
+        for r in with_chunk_ids(chunk_stage(extract_spans(docs))).collect()
+    }
+    assert a == b  # content-addressed: identical across runs
+    assert all(isinstance(v, int) for v in a.values())

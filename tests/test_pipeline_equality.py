@@ -55,6 +55,29 @@ def test_partition_invariance(spark, docs, oracle_spans):
     assert got == oracle_spans
 
 
+def test_exploded_path_equals_whole_doc_path(spark, docs, oracle_spans):
+    """The zero-shuffle whole-doc path and the explode→salt→regroup giant
+    path are interchangeable physical plans for identical semantics."""
+    exploded = collect_spans(extract_spans(docs, giant_threshold=0))
+    assert exploded == oracle_spans
+    routed = collect_spans(extract_spans(docs, giant_threshold=50))
+    assert routed == oracle_spans
+
+
+def test_fused_chunks_equal_staged(spark, docs):
+    from ragflow_spark.operators.extract import extract_chunks_fused
+
+    staged = {
+        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        for r in chunk_stage(extract_spans(docs), chunker="naive").collect()
+    }
+    fused = {
+        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        for r in extract_chunks_fused(docs, chunker="naive").collect()
+    }
+    assert fused == staged
+
+
 def test_chunk_stage_equals_oracle(spark, docs, oracle_spans):
     spans_df = extract_spans(docs).cache()
     got = {}
