@@ -12,6 +12,8 @@ import re
 import pandas as pd
 
 _ENG_CHAR = re.compile(r"[`a-zA-Z0-9\s.,':;/\"?<>!\(\)\-]")
+# whole-string variant: one fullmatch instead of a per-character match loop
+_FULL_ENG = re.compile(r"[`a-zA-Z0-9\s.,':;/\"?<>!\(\)\-]*")
 _CJK = re.compile(r"[一-鿿]")
 
 
@@ -31,7 +33,7 @@ def is_english(texts) -> bool:
 
 def _full_eng(t: str) -> bool:
     t = t.strip()
-    return bool(t) and all(_ENG_CHAR.match(ch) for ch in t)
+    return bool(t) and _FULL_ENG.fullmatch(t) is not None
 
 
 def is_chinese(text: str) -> bool:

@@ -178,13 +178,12 @@ def chunk_doc(
     sections = [
         (s["text"], s["kind"]) for s in out_spans if s["kind"] in ("text", "title") and (s["text"] or "").strip()
     ]
-    eng = doc_is_english([t for t, _ in sections])
-
     if chunker == "naive":
         texts = chunkers.naive_merge(
             [t for t, _ in sections], chunk_token_num, delimiter, overlapped_percent
         )
     elif chunker == "book":
+        eng = doc_is_english([t for t, _ in sections])
         texts = chunkers.book_chunk(sections, eng, chunk_token_num=256, delimiter=delimiter)
     elif chunker == "paper":
         paper = chunkers.paper_chunk(sections)
