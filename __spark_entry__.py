@@ -89,6 +89,48 @@ def _mk_chunk(chunker: str, budget: int):
     return q
 
 
+def _q_chunk_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA chunker over question/answer spans derived deterministically from
+    the documents table (first words → question line, remainder → answer)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.trim("text"), r"\s+")
+    q = F.concat(
+        F.lit("Q1: "), F.concat_ws(" ", F.slice(words, 1, 4)), F.lit("?")
+    )
+    a = F.concat_ws(" ", F.slice(words, 5, 10000))
+    sid = F.concat(F.lit("qa-"), F.col("doc_id").cast("string"))
+    spans = docs.select(
+        sid.alias("doc_id"), F.lit(0).alias("seq"), F.lit("text").alias("kind"),
+        q.alias("text"), F.lit("").alias("media_ref"),
+    ).unionByName(
+        docs.select(
+            sid.alias("doc_id"), F.lit(1).alias("seq"),
+            F.lit("text").alias("kind"), a.alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+    )
+    return chunk_stage(spans, chunker="qa")
+
+
+from ragflow_spark.functions.tokens import DUCKDB_SQL_EXPR as _TOK
+
+_CHUNK_QA_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+built AS (
+  SELECT 'qa-' || CAST(doc_id AS VARCHAR) AS doc_id,
+         'qa' AS chunker,
+         CAST(0 AS INTEGER) AS chunk_seq,
+         trim('Q1: ' || array_to_string(words[1:4], ' ') || '?' || chr(10) ||
+              array_to_string(words[5:], ' ')) AS text
+  FROM w)
+SELECT doc_id, chunker, chunk_seq, text,
+       CAST({_TOK.format(c="text")} AS INTEGER) AS token_count
+FROM built
+"""
+
+
 def _q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_inventory(spark, sf_dir)
 
@@ -110,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_naive": _mk_chunk("naive", 512),
         "chunk_book": _mk_chunk("book", 256),
         "chunk_paper": _mk_chunk("paper", 512),
+        "chunk_laws": _mk_chunk("laws", 512),
+        "chunk_qa": _q_chunk_qa,
         "chunk_one": lambda spark, sf_dir: assembly.one_chunk(
             extract_spans(_corpus(spark, sf_dir))
         ),
@@ -164,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": relational.SESSIONIZE_SQL,
         "doc_aggs": relational.DOC_AGGS_SQL,
         "tag_aggs": relational.TAG_AGGS_SQL,
+        "chunk_qa": _CHUNK_QA_SQL,
         "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
         "term_idf": retrieval.TERM_IDF_SQL,
         "hybrid_search": retrieval.HYBRID_SEARCH_SQL,

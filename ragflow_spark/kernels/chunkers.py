@@ -391,3 +391,57 @@ def book_chunk(
     if bull >= 0:
         return ["\n".join(ck) for ck in hierarchical_merge(bull, secs, 5)]
     return naive_merge([t for t, _ in secs], chunk_token_num, delimiter)
+
+
+def laws_chunk(
+    sections: list[tuple[str, str]],
+    eng: bool,
+    chunk_token_num: int = 512,
+    delimiter: str = "\n。；！？",
+) -> list[str]:
+    """Laws template (rag/app/laws.py:143-211): sections arrive already
+    vertically merged (laws.py:135 uses _naive_vertical_merge only); bullet
+    dialect → hierarchical merge depth 5 (laws.py:206); no dialect → the
+    naive budget fallback."""
+    secs = [(t, o) for t, o in sections if t and t.strip()]
+    bull = bullets_category([t for t, _ in secs[:100]])
+    if bull >= 0:
+        return ["\n".join(ck) for ck in hierarchical_merge(bull, secs, 5)]
+    return naive_merge([t for t, _ in secs], chunk_token_num, delimiter)
+
+
+# question bullets (reference QUESTION_PATTERN rag/nlp/__init__.py:74-86,
+# has_qbullet :89-129) — the live subset: CN 第X问/题, Q1:/Question 1:,
+# numbered questions ending in ?/？
+QUESTION_PATTERNS = [
+    re.compile(r"^第[零一二三四五六七八九十百0-9]+[问题]"),
+    re.compile(r"^[QqＱ][uestion]*\s*[0-9０-９]+[::：.、\s]"),
+    re.compile(r"^[0-9０-９]+[::：.、\s].{0,200}[?？]\s*$"),
+    re.compile(r"^(问|Q|q)[::：]"),
+]
+
+
+def is_question(line: str) -> bool:
+    t = (line or "").strip()
+    if not t:
+        return False
+    return any(p.search(t) for p in QUESTION_PATTERNS)
+
+
+def qa_pairs(sections: list[str]) -> list[tuple[str, str]]:
+    """QA template (rag/app/qa.py:313-471 text path): a question-bullet line
+    opens a pair; subsequent non-question lines accumulate as the answer;
+    preamble before the first question is dropped (qa.py beginQ semantics)."""
+    pairs: list[tuple[str, str]] = []
+    q: str | None = None
+    ans: list[str] = []
+    for line in sections:
+        if is_question(line):
+            if q is not None:
+                pairs.append((q.strip(), "\n".join(ans).strip()))
+            q, ans = line, []
+        elif q is not None:
+            ans.append(line)
+    if q is not None:
+        pairs.append((q.strip(), "\n".join(ans).strip()))
+    return pairs

@@ -157,7 +157,7 @@ def extract_doc(spans: list[dict], html_tables: bool = False) -> list[dict]:
     return finalize_doc(strip_rows(spans), html_tables=html_tables)
 
 
-CHUNKERS = ("naive", "book", "paper")
+CHUNKERS = ("naive", "book", "paper", "laws", "qa")
 
 
 def chunk_doc(
@@ -188,6 +188,14 @@ def chunk_doc(
     elif chunker == "paper":
         paper = chunkers.paper_chunk(sections)
         texts = ([paper["abstract"]] if paper["abstract"] else []) + paper["chunks"]
+    elif chunker == "laws":
+        eng = doc_is_english([t for t, _ in sections])
+        texts = chunkers.laws_chunk(sections, eng, chunk_token_num, delimiter)
+    elif chunker == "qa":
+        texts = [
+            (q + "\n" + a).strip()
+            for q, a in chunkers.qa_pairs([t for t, _ in sections])
+        ]
     else:
         raise ValueError(f"unknown chunker {chunker!r}")
 

@@ -22,7 +22,6 @@ same table share one, figure boxes get their own. Output spans drop the
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 from pyspark.sql import types as T
@@ -135,7 +134,7 @@ def unpack_geom(media_ref: str | None) -> Geom | None:
     if not media_ref:
         return None
     if media_ref.startswith("geom://"):
-        body = media_ref[len("geom://"):]
+        body = media_ref[7:]
     elif "#geom=" in media_ref:
         body = media_ref.split("#geom=", 1)[1]
     else:
@@ -144,11 +143,14 @@ def unpack_geom(media_ref: str | None) -> Geom | None:
     if len(parts) < 5:
         return None
     pn = int(parts[0])
-    x0, x1, top, bottom = (float(p) for p in parts[1:5])
+    x0 = float(parts[1])
+    x1 = float(parts[2])
+    top = float(parts[3])
+    bottom = float(parts[4])
     lo = int(parts[5]) if len(parts) > 5 else -1
-    for v in (x0, x1, top, bottom):
-        if math.isnan(v):
-            return None
+    # x != x is the allocation-free NaN test
+    if x0 != x0 or x1 != x1 or top != top or bottom != bottom:
+        return None
     return Geom(pn, x0, x1, top, bottom, lo)
 
 

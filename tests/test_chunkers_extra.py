@@ -1,0 +1,70 @@
+"""laws + qa chunker kernels (reference: rag/app/laws.py:143-211,
+rag/app/qa.py:313-471, QUESTION_PATTERN rag/nlp/__init__.py:74-86)."""
+
+from __future__ import annotations
+
+from ragflow_spark.kernels.chunkers import is_question, laws_chunk, qa_pairs
+from ragflow_spark.kernels.extract import chunk_doc
+
+
+def test_laws_hierarchical():
+    secs = [
+        ("第一章 总则", "title"),
+        ("第一条 为了规范数据处理", "text"),
+        ("相关活动适用本条款", "text"),
+        ("第二条 在境内开展数据活动", "text"),
+        ("第二章 数据安全", "title"),
+        ("第三条 国家建立数据分类保护制度", "text"),
+    ]
+    chunks = laws_chunk(secs, eng=False)
+    joined = "\n\n".join(chunks)
+    # every article lands in some chunk, chapter titles chain above articles
+    assert "第一条" in joined and "第三条" in joined
+    assert any("第一章" in c and "第一条" in c for c in chunks)
+    assert any("第二章" in c and "第三条" in c for c in chunks)
+
+
+def test_laws_fallback_naive():
+    secs = [(f"plain sentence number {i}.", "text") for i in range(10)]
+    chunks = laws_chunk(secs, eng=True, chunk_token_num=16)
+    assert len(chunks) >= 2
+    assert "".join(chunks).count("plain sentence") == 10
+
+
+def test_is_question():
+    assert is_question("Q1: what is a shuffle?")
+    assert is_question("Question 2. why broadcast")
+    assert is_question("第三问 什么是分区")
+    assert is_question("12. how many executors do we need?")
+    assert not is_question("This is a plain statement.")
+    assert not is_question("12. plain numbered statement without mark")
+
+
+def test_qa_pairs():
+    secs = [
+        "Intro text to drop",
+        "Q1: what is a shuffle?",
+        "A data exchange between stages.",
+        "It is expensive.",
+        "Q2: what is a broadcast?",
+        "A small-side replication.",
+    ]
+    pairs = qa_pairs(secs)
+    assert pairs == [
+        ("Q1: what is a shuffle?", "A data exchange between stages.\nIt is expensive."),
+        ("Q2: what is a broadcast?", "A small-side replication."),
+    ]
+
+
+def test_chunk_doc_qa_and_laws():
+    spans = [
+        {"seq": 0, "kind": "text", "text": "Q1: what is x?", "media_ref": ""},
+        {"seq": 1, "kind": "text", "text": "x is y.", "media_ref": ""},
+    ]
+    out = chunk_doc(spans, chunker="qa")
+    assert len(out) == 1 and out[0]["text"] == "Q1: what is x?\nx is y."
+    out2 = chunk_doc(
+        [{"seq": 0, "kind": "text", "text": "第一条 条款内容", "media_ref": ""}],
+        chunker="laws",
+    )
+    assert len(out2) >= 1
