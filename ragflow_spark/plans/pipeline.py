@@ -30,6 +30,28 @@ class PipelineResult:
     run: CheckpointedRun | None = None
 
 
+def run_pipeline_native(
+    spark: SparkSession,
+    input_path: str,
+    base_dir: str,
+    run_id: str | None = None,
+    chunker: str = "naive",
+    chunk_token_num: int = 512,
+    resume: bool = True,
+) -> PipelineResult:
+    """Checkpointed run over the python-native parquet source (the fast
+    path): one fused extract+chunk stage committed as a snapshot with
+    per-partition lineage; a rerun with the same base_dir is a no-op read."""
+    from ragflow_spark.sources.parquet_spans import extract_chunks_native
+
+    run = CheckpointedRun(spark, base_dir, run_id=run_id)
+    chunks = extract_chunks_native(
+        spark, input_path, chunker=chunker, chunk_token_num=chunk_token_num
+    )
+    chunks, res = run.write_stage("chunks", chunks, resume=resume)
+    return PipelineResult(chunks=chunks, spans=None, stages={"chunks": res}, run=run)
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,

@@ -58,6 +58,24 @@ def test_kill_resume_and_equality(spark, docs, tmp_path_factory):
     assert by_stage["chunk"]["spans"] == r2.chunks.count()
 
 
+def test_native_pipeline_resume(spark, tmp_path_factory):
+    from ragflow_spark.datagen import write_corpus
+    from ragflow_spark.plans.pipeline import run_pipeline_native
+
+    base = tmp_path_factory.mktemp("ckpt_native")
+    inp = str(base / "in")
+    write_corpus(spark, inp, count=30, seed=8, partitions=2)
+    r1 = run_pipeline_native(spark, inp, str(base / "ck"), run_id="n1")
+    assert not r1.stages["chunks"].resumed
+    n1 = r1.chunks.count()
+    r2 = run_pipeline_native(spark, inp, str(base / "ck"), run_id="n2")
+    assert r2.stages["chunks"].resumed
+    assert r2.stages["chunks"].snapshot_id == r1.stages["chunks"].snapshot_id
+    assert r2.chunks.count() == n1
+    m = r1.run.metrics()
+    assert m.where(F.col("stage") == "chunks").agg(F.sum("span_count")).first()[0] == n1
+
+
 def test_failure_capture_lineage(spark, tmp_path_factory):
     """A malformed doc (unparseable geom ref → kernel raises) becomes a
     failure_count lineage row, not a task failure; healthy docs survive."""
