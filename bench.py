@@ -44,6 +44,8 @@ def main() -> None:
     subset = [q for q in args.queries.split(",") if q] or list(qs)
     timings: dict[str, float] = {}
     n_extract_docs = entrymod._SF_COUNT.get(sf, 200)
+    # untimed warmup: materialize the corpus + spawn the worker pool
+    entrymod._corpus(spark, args.sf_dir).count()
     for name in subset:
         fn = qs[name]
         t0 = time.time()
@@ -59,7 +61,7 @@ def main() -> None:
         from ragflow_spark.datagen import write_corpus
         from ragflow_spark.sources.parquet_spans import extract_chunks_native
 
-        n_native = max(n_extract_docs * 4, 2000)
+        n_native = max(n_extract_docs * 12, 2000)
         corpus = os.path.join(
             tempfile.gettempdir(), f"bench_corpus_{sf}_{n_native}"
         )
