@@ -223,6 +223,118 @@ def extract_chunks_native(
     return small.unionByName(giant_chunks)
 
 
+MANIFEST_SCHEMA = (
+    "split_id int, n_docs long, n_chunks long, out_file string"
+)
+
+
+def extract_chunks_native_to_parquet(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    chunker: str = "naive",
+    chunk_token_num: int = 512,
+    delimiter: str = "\n!?。；！？",
+    overlapped_percent: int = 0,
+    html_tables: bool = False,
+    giant_threshold: int = GIANT_SPAN_THRESHOLD,
+    target_rows: int = 2000,
+    compression: str = "snappy",
+) -> DataFrame:
+    """Full python-native pipeline INCLUDING the sink: each task reads its
+    row-group split, extracts+chunks, and writes its own parquet part —
+    the chunk rows never cross the JVM boundary. Returns the manifest
+    DataFrame (split_id, n_docs, n_chunks, out_file): one row per split =
+    per-partition lineage for free, and file-per-split makes reruns
+    idempotent (same split → same file name, overwritten atomically).
+
+    At cluster scale this is the shape that keeps the write path scaling
+    with executors instead of funneling Arrow batches back through the
+    scheduler side; giant docs still go through the salted DataFrame path
+    into the same directory."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for row in pdf.itertuples():
+                tbl = pq.ParquetFile(row.path).read_row_groups(
+                    list(range(row.rg_start, row.rg_end)),
+                    columns=["doc_id", "spans"],
+                    use_threads=False,
+                )
+                ids_out: list[str] = []
+                rows: list[dict] = []
+                n_docs = 0
+                doc_ids, per_doc = _iter_docs(tbl)
+                for doc_id, recs in zip(doc_ids, per_doc):
+                    if len(recs) >= giant_threshold:
+                        continue
+                    n_docs += 1
+                    out = extract_doc(recs, html_tables=html_tables)
+                    for c in chunk_doc(
+                        out,
+                        chunker=chunker,
+                        chunk_token_num=chunk_token_num,
+                        delimiter=delimiter,
+                        overlapped_percent=overlapped_percent,
+                    ):
+                        ids_out.append(doc_id)
+                        rows.append(c)
+                split_id = int(row.Index)
+                fname = os.path.join(
+                    out_dir,
+                    f"part-{os.path.basename(row.path)}-{row.rg_start}-{row.rg_end}.parquet",
+                )
+                out_tbl = pa.table(
+                    {
+                        "doc_id": pa.array(ids_out, pa.string()),
+                        "chunker": pa.array([c["chunker"] for c in rows], pa.string()),
+                        "chunk_seq": pa.array(
+                            [c["chunk_seq"] for c in rows], pa.int32()
+                        ),
+                        "text": pa.array([c["text"] for c in rows], pa.string()),
+                        "token_count": pa.array(
+                            [c["token_count"] for c in rows], pa.int32()
+                        ),
+                    }
+                )
+                tmp = fname + ".tmp"
+                pq.write_table(out_tbl, tmp, compression=compression)
+                os.replace(tmp, fname)  # atomic per-split commit
+                yield pd.DataFrame(
+                    {
+                        "split_id": [split_id],
+                        "n_docs": [n_docs],
+                        "n_chunks": [len(rows)],
+                        "out_file": [fname],
+                    }
+                )
+
+    splits, may_have_giants = _splits_df(
+        spark, path, target_rows, giant_threshold
+    )
+    manifest = splits.mapInPandas(run, schema=MANIFEST_SCHEMA)
+    if may_have_giants:
+        giants = _giants_scan(spark, path, giant_threshold)
+        giant_spans = finalize_stage(
+            strip_stage(explode_spans(giants)), html_tables=html_tables
+        )
+        giant_chunks = chunk_stage(
+            giant_spans,
+            chunker=chunker,
+            chunk_token_num=chunk_token_num,
+            delimiter=delimiter,
+            overlapped_percent=overlapped_percent,
+        )
+        giant_chunks.write.mode("append").parquet(os.path.join(out_dir, "giants"))
+    return manifest
+
+
 def extract_spans_native(
     spark: SparkSession,
     path: str,

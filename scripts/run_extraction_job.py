@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--chunk-tokens", type=int, default=512)
     ap.add_argument("--native-reader", action="store_true",
                     help="python-native parquet source (fast path)")
+    ap.add_argument("--native-sink", action="store_true",
+                    help="sink-in-task: tasks write their own parquet parts; "
+                         "only the per-split lineage manifest reaches the driver")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,6 +42,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from ragflow_spark.operators.extract import with_chunk_ids
+
+    if args.native_sink:
+        from ragflow_spark.sources.parquet_spans import (
+            extract_chunks_native_to_parquet,
+        )
+
+        manifest = extract_chunks_native_to_parquet(
+            spark, args.input, args.output,
+            chunker=args.chunker, chunk_token_num=args.chunk_tokens,
+        ).toPandas()
+        print(
+            f"wrote {int(manifest['n_chunks'].sum())} chunks in "
+            f"{len(manifest)} split files to {args.output}"
+        )
+        spark.stop()
+        return
 
     if args.checkpoint:
         from ragflow_spark.plans.pipeline import run_pipeline

@@ -29,11 +29,15 @@ def main() -> None:
     ap.add_argument("--corpus-dir", default=None)
     args = ap.parse_args()
 
+    import shutil
+
     import pandas as pd
 
     from ragflow_spark.datagen import write_corpus
     from ragflow_spark.session import get_spark
-    from ragflow_spark.sources.parquet_spans import extract_chunks_native
+    from ragflow_spark.sources.parquet_spans import (
+        extract_chunks_native_to_parquet,
+    )
 
     spark = get_spark(cores=args.cores, app_name=f"scale_{args.cores}")
     corpus = args.corpus_dir or f"/tmp/scale_corpus_{args.seed}_{args.docs}"
@@ -45,8 +49,17 @@ def main() -> None:
         lambda it: (pd.DataFrame({"n": [len(p)]}) for p in it), "n long"
     ).count()
 
+    out_dir = f"/tmp/scale_out_{args.cores}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # measured job = the COMPLETE pipeline incl. the sink: tasks read their
+    # row-group splits, extract+chunk, and write their own parquet parts;
+    # only the per-split lineage manifest crosses back to the driver
     t0 = time.time()
-    n_chunks = extract_chunks_native(spark, corpus, chunker=args.chunker).count()
+    manifest = extract_chunks_native_to_parquet(
+        spark, corpus, out_dir, chunker=args.chunker
+    ).toPandas()
+    n_chunks = int(manifest["n_chunks"].sum())
     elapsed = time.time() - t0
 
     print(

@@ -47,6 +47,38 @@ def test_spans_native_equals_dataframe_path(spark, corpus_path):
     assert native == df_path
 
 
+def test_sink_in_task_equals_fused(spark, corpus_path, tmp_path_factory):
+    from ragflow_spark.sources.parquet_spans import (
+        extract_chunks_native_to_parquet,
+    )
+
+    out = str(tmp_path_factory.mktemp("sink") / "chunks")
+    manifest = extract_chunks_native_to_parquet(
+        spark, corpus_path, out, giant_threshold=120
+    ).toPandas()
+    assert (manifest["n_chunks"] >= 0).all() and len(manifest) >= 2
+    written = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    a = {
+        (r.doc_id, r.chunk_seq, r.text, r.token_count) for r in written.collect()
+    }
+    b = {
+        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        for r in extract_chunks_fused(spark.read.parquet(corpus_path)).collect()
+    }
+    assert a == b
+    # rerun is idempotent: same files, same content
+    extract_chunks_native_to_parquet(
+        spark, corpus_path, out, giant_threshold=10**6
+    ).count()
+    again = {
+        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out)
+        .collect()
+    }
+    assert again == b
+
+
 def test_chunks_native_equals_fused_with_giant_routing(spark, corpus_path):
     # giant_threshold=120 forces a real split: some fixture docs exceed it
     native = {
