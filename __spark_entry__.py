@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval surface (SURVEY.md §2.6)
         "term_idf": retrieval.term_idf,
         "hybrid_search": retrieval.hybrid_search,
+        "rerank_fusion": retrieval.rerank_fusion,
+        "tag_features": retrieval.tag_features,
         # schema inference (rag/app/table.py:263-299 analog)
         "infer_column_types": schema_infer.infer_column_types,
         # multimodal plumbing (rows-only — stubbed decode)
@@ -246,5 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
         "term_idf": retrieval.TERM_IDF_SQL,
         "hybrid_search": retrieval.HYBRID_SEARCH_SQL,
+        "rerank_fusion": retrieval.RERANK_FUSION_SQL,
+        "tag_features": retrieval.TAG_FEATURES_SQL,
         "infer_column_types": schema_infer.INFER_COLUMN_TYPES_SQL,
     }

@@ -113,6 +113,130 @@ def hybrid_search(
     )
 
 
+def rerank_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """Rerank (reference rag/nlp/search.py:279-339): blend token-overlap
+    similarity 0.3 with dense cosine 0.7 over the hybrid candidate set,
+    re-rank per query. Same corpus join shape as hybrid_search; distinct
+    weights + explicit rerank stage (window re-order of an existing
+    candidate list)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "toks"
+        ),
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    vec = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double") / norm).alias("v")
+    )
+    corpus = docs.join(vec, docs.doc_id == vec.vec_id).select("doc_id", "toks", "v")
+    q = corpus.where(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("toks").alias("qtoks"),
+        F.col("v").alias("qv"),
+    )
+    cos = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    tksim = F.size(F.array_intersect("qtoks", "toks")) / F.size("qtoks")
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.lit(0.3) * tksim + F.lit(0.7) * cos, 6).alias("rerank_r6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rerank_r6"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "rerank_r6")
+    )
+
+
+RERANK_FUSION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+  FROM documents),
+vecs AS (
+  SELECT vec_id,
+         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        x -> x / sqrt(list_dot_product(
+                             list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                             list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS v
+  FROM embeddings),
+corpus AS (
+  SELECT doc_id, toks, v FROM toks JOIN vecs ON doc_id = vec_id),
+q AS (
+  SELECT doc_id AS query_id, toks AS qtoks, v AS qv
+  FROM corpus WHERE doc_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.doc_id,
+         round(0.3 * (len(list_intersect(q.qtoks, c.toks)) * 1.0 / len(q.qtoks))
+               + 0.7 * list_dot_product(q.qv, c.v), 6) AS rerank_r6
+  FROM corpus c, q WHERE c.doc_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rerank_r6 DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, rerank_r6
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def tag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-feature scoring (reference rag/nlp/search.py:463-501,
+    TF-ICF-like smoothing (c+1)/(cnt+S)): per (source, lang) "tag", the
+    smoothed share of each tag within its source, scaled by the tag's
+    corpus-wide rarity. Integer counts + single divisions."""
+    docs = load(spark, sf_dir, "documents")
+    s_tot = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    tag_tot = docs.groupBy("lang").agg(F.count("*").alias("all_tag"))
+    n_langs = docs.select("lang").distinct().count()
+    by = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    return (
+        by.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(tag_tot), "lang")
+        .select(
+            "source",
+            F.col("lang").alias("tag"),
+            F.col("c").cast("int").alias("c"),
+            F.round(
+                (F.col("c") + 1) / (F.col("cnt") + F.lit(n_langs)) / F.col("all_tag"),
+                6,
+            ).alias("feat_r6"),
+        )
+    )
+
+
+TAG_FEATURES_SQL = """
+WITH s_tot AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+tag_tot AS (SELECT lang, count(*) AS all_tag FROM documents GROUP BY lang),
+n AS (SELECT count(DISTINCT lang) AS n_langs FROM documents),
+by_t AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang)
+SELECT by_t.source, by_t.lang AS tag, CAST(c AS INTEGER) AS c,
+       round((c + 1) * 1.0 / (cnt + (SELECT n_langs FROM n)) / all_tag, 6) AS feat_r6
+FROM by_t
+JOIN s_tot ON by_t.source = s_tot.source
+JOIN tag_tot ON by_t.lang = tag_tot.lang
+"""
+
+
 HYBRID_SEARCH_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
