@@ -141,6 +141,10 @@ def finalize_doc(rows: list[dict], html_tables: bool = False) -> list[dict]:
             # still dropped for parity with the layout path)
             if s["kind"] in ("header", "footer", "reference"):
                 continue
+            # empty boxes are junk on the layout path (drop_junk) — mirror
+            # that here, but keep media-bearing spans (figures)
+            if not (s.get("text") or "").strip() and not strip_geom(s.get("media_ref")):
+                continue
             kind = s["kind"] if s["kind"] in ("title", "table", "figure") else "text"
             plain_out.append(_out(kind, s.get("text") or "", strip_geom(s.get("media_ref"))))
 

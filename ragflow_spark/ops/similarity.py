@@ -125,7 +125,7 @@ def ivf_assignments(
         .where(F.col("rn") == 1)
         .select("vec_id", "v", "list_id")
     )
-    centroids = avg_by(assigned, F.col("list_id"))
+    centroids = avg_by(assigned, F.col("list_id")).cache()
     final = (
         n.crossJoin(F.broadcast(centroids))
         .select("vec_id", "v", "list_id", _dot(F.col("v"), F.col("c")).alias("cos"))
@@ -138,7 +138,9 @@ def ivf_assignments(
         .where(F.col("rn") == 1)
         .select("vec_id", "v", "list_id")
     )
-    return centroids, final
+    # consumed twice downstream (query side + probe join) — don't recompute
+    # the two crossJoin+window passes per consumer
+    return centroids, final.cache()
 
 
 def knn_ivf(
