@@ -240,6 +240,7 @@ def extract_chunks_native_to_parquet(
     giant_threshold: int = GIANT_SPAN_THRESHOLD,
     target_rows: int = 2000,
     compression: str = "snappy",
+    resume: bool = False,
 ) -> DataFrame:
     """Full python-native pipeline INCLUDING the sink: each task reads its
     row-group split, extracts+chunks, and writes its own parquet part —
@@ -262,6 +263,23 @@ def extract_chunks_native_to_parquet(
 
         for pdf in batches:
             for row in pdf.itertuples():
+                fname = os.path.join(
+                    out_dir,
+                    f"part-{os.path.basename(row.path)}-{row.rg_start}-{row.rg_end}.parquet",
+                )
+                if resume and os.path.exists(fname):
+                    # split already committed (atomic os.replace ⇒ a present
+                    # file is complete); lineage from its footer only
+                    md = pq.ParquetFile(fname).metadata
+                    yield pd.DataFrame(
+                        {
+                            "split_id": [int(row.Index)],
+                            "n_docs": [-1],  # not recounted on resume
+                            "n_chunks": [md.num_rows],
+                            "out_file": [fname],
+                        }
+                    )
+                    continue
                 tbl = pq.ParquetFile(row.path).read_row_groups(
                     list(range(row.rg_start, row.rg_end)),
                     columns=["doc_id", "spans"],
@@ -286,10 +304,6 @@ def extract_chunks_native_to_parquet(
                         ids_out.append(doc_id)
                         rows.append(c)
                 split_id = int(row.Index)
-                fname = os.path.join(
-                    out_dir,
-                    f"part-{os.path.basename(row.path)}-{row.rg_start}-{row.rg_end}.parquet",
-                )
                 out_tbl = pa.table(
                     {
                         "doc_id": pa.array(ids_out, pa.string()),

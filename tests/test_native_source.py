@@ -77,6 +77,25 @@ def test_sink_in_task_equals_fused(spark, corpus_path, tmp_path_factory):
         .collect()
     }
     assert again == b
+    # resume: a kill/rerun skips committed splits (n_docs=-1 marker) and
+    # still reports full lineage from the part-file footers
+    import os
+
+    one_part = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(out, one_part))  # simulate a split lost mid-run
+    m2 = extract_chunks_native_to_parquet(
+        spark, corpus_path, out, giant_threshold=10**6, resume=True
+    ).toPandas()
+    assert (m2["n_docs"] == -1).sum() == len(m2) - 1  # all but one skipped
+    resumed = {
+        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out)
+        .collect()
+    }
+    assert resumed == b
 
 
 def test_chunks_native_equals_fused_with_giant_routing(spark, corpus_path):
