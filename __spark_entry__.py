@@ -54,7 +54,16 @@ def _corpus_path(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from ragflow_spark.datagen import write_corpus
 
-        write_corpus(spark, path, count=count, seed=42)
+        # write to a private dir + atomic rename so concurrent driver
+        # processes can't observe a half-written corpus
+        tmp = f"{path}.tmp-{os.getpid()}"
+        write_corpus(spark, tmp, count=count, seed=42)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # another process won
     return path
 
 
