@@ -18,6 +18,37 @@ def _chunkset(df):
     }
 
 
+def test_stream_span_metrics(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.streaming.extract_stream import stream_span_metrics
+
+    base = tmp_path_factory.mktemp("smetrics")
+    inp, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    write_corpus(spark, inp + "/w", count=25, seed=4, partitions=1)
+    import os
+    import shutil
+
+    os.makedirs(inp, exist_ok=True)
+    for i, f in enumerate(glob.glob(inp + "/w/*.parquet")):
+        shutil.move(f, f"{inp}/f{i}.parquet")
+    shutil.rmtree(inp + "/w")
+
+    q = stream_span_metrics(spark, inp, ckpt, out)
+    q.awaitTermination(240)
+    m = spark.read.parquet(out)
+    # per-kind span counts equal the batch ground truth
+    batch = (
+        spark.read.parquet(*glob.glob(inp + "/f*.parquet"))
+        .select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .count()
+    )
+    got = {r["kind"]: r["span_count"] for r in m.collect()}
+    want = {r["kind"]: r["count"] for r in batch.collect()}
+    assert got == want
+
+
 def test_stream_batch_parity_and_incremental(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("stream")
     inp, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
