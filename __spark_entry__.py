@@ -148,7 +148,10 @@ def _q_chunk_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("Q1: "),
                 F.concat_ws(" ", F.slice(words, 1, 4)),
                 F.lit("?\n"),
-                F.concat_ws(" ", F.slice(words, 5, 10000)),
+                F.concat_ws(
+                    " ",
+                    F.slice(words, 5, F.greatest(F.size(words) - 4, F.lit(0))),
+                ),
             )
         ).alias("text"),
     )

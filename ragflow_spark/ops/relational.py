@@ -53,9 +53,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
        count(*) AS count_order,
        round(CAST(sum(l_quantity) AS BIGINT) / count(*), 4) AS avg_qty_r4
 FROM lineitem
@@ -98,7 +98,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str, topn: int = 10) -> Data
 TOP_REVENUE_SQL = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -181,7 +181,7 @@ s AS (
 SELECT user_id,
        CAST(sum(new_sess) AS INTEGER) AS n_sessions,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM s GROUP BY user_id
 """
 
@@ -198,7 +198,8 @@ def doc_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_AGGS_SQL = """
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source, lang
 """
 
@@ -217,6 +218,6 @@ def tag_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 TAG_AGGS_SQL = """
 SELECT event_type, count(*) AS n,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type
 """

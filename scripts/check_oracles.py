@@ -1,6 +1,8 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() in DuckDB at sf0.01, compare row count, sorted
-column names, and exact values (rows sorted by all columns).
+column names, exact values (rows sorted by all columns), AND arrow dtypes —
+the driver hashes *typed* values, so a DuckDB HUGEINT (decimal128) vs Spark
+int64 mismatch fails the driver even when every value is numerically equal.
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 """
@@ -36,11 +38,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+def arrow_types(tbl) -> dict[str, str]:
+    return {f.name: str(f.type) for f in tbl.schema}
+
+
+def compare(
+    name: str,
+    sdf: pd.DataFrame,
+    odf: pd.DataFrame,
+    stypes: dict[str, str] | None = None,
+    otypes: dict[str, str] | None = None,
+) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         return problems
+    for c in sorted((stypes or {}).keys()):
+        st, ot = stypes[c], (otypes or {}).get(c)
+        if ot is not None and st != ot:
+            problems.append(f"dtype {c}: spark={st} oracle={ot}")
     if len(sdf) != len(odf):
         problems.append(f"rowcount: spark={len(sdf)} oracle={len(odf)}")
     a, b = canon(sdf), canon(odf)
@@ -81,7 +97,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sarrow = fn(spark, sf_dir).toArrow()
+            sdf = sarrow.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: spark error {e}")
             failed.append(name)
@@ -93,12 +110,13 @@ def main() -> int:
                 print(f"WARN {name}: empty result")
             continue
         try:
-            odf = con.sql(oracles[name]).df()
+            oarrow = con.sql(oracles[name]).arrow()
+            odf = oarrow.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             failed.append(name)
             continue
-        problems = compare(name, sdf, odf)
+        problems = compare(name, sdf, odf, arrow_types(sarrow), arrow_types(oarrow))
         if problems:
             print(f"FAIL {name}: rows={len(sdf)} vs {len(odf)} ({dt:.1f}s)")
             for p in problems:

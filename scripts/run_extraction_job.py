@@ -27,7 +27,7 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="parquet dir of (doc_id, spans[, n_spans])")
     ap.add_argument("--output", required=True, help="chunk sink parquet dir")
     ap.add_argument("--checkpoint", default=None, help="snapshot/lineage base dir (enables resume)")
-    ap.add_argument("--chunker", default="naive", choices=["naive", "book", "paper"])
+    ap.add_argument("--chunker", default="naive", choices=["naive", "book", "paper", "laws", "qa"])
     ap.add_argument("--chunk-tokens", type=int, default=512)
     ap.add_argument("--native-reader", action="store_true",
                     help="python-native parquet source (fast path)")
