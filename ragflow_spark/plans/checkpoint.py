@@ -45,8 +45,13 @@ def is_committed(stage_dir: str) -> bool:
     mp = _manifest_path(stage_dir)
     if not os.path.exists(mp):
         return False
-    with open(mp) as f:
-        return bool(json.load(f).get("committed"))
+    try:
+        with open(mp) as f:
+            return bool(json.load(f).get("committed"))
+    except (json.JSONDecodeError, OSError):
+        # truncated/unreadable manifest = not committed (a crash mid-write
+        # must look like "stage not done", never break resume)
+        return False
 
 
 def read_manifest(stage_dir: str) -> dict:
@@ -87,6 +92,11 @@ class CheckpointedRun:
         sdir = self.stage_dir(stage)
         if resume and is_committed(sdir):
             man = read_manifest(sdir)
+            # heal the crash window between commit and metrics append: if the
+            # committed snapshot has no metrics rows yet, write them now
+            if not self._has_metrics(man["snapshot_id"], stage):
+                self._append_metrics(sdir, man["snapshot_id"], stage,
+                                     doc_col, error_kind, man["run_id"])
             out = self.spark.read.parquet(sdir)
             return self._strip_errors(out, error_kind), StageResult(
                 stage, man["snapshot_id"], sdir, resumed=True
@@ -96,8 +106,46 @@ class CheckpointedRun:
         tmp = f"{sdir}.tmp-{snapshot_id}"
         staged = df.withColumn("partition_id", F.spark_partition_id())
         staged.write.mode("overwrite").parquet(tmp)
-        # lineage from the written files (exactly what a resume reads)
-        written = self.spark.read.parquet(tmp)
+        # atomic commit: rename + manifest (↔ Iceberg snapshot commit).
+        # Metrics are appended only AFTER the commit (keyed by snapshot_id and
+        # deduped in metrics()) so a crash mid-stage never leaves orphan
+        # metrics for data a resume will recompute.
+        if os.path.exists(sdir):
+            import shutil
+
+            shutil.rmtree(sdir)
+        os.rename(tmp, sdir)
+        mp = _manifest_path(sdir)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "committed": True,
+                    "stage": stage,
+                    "snapshot_id": snapshot_id,
+                    "run_id": self.run_id,
+                },
+                f,
+            )
+        os.replace(mp + ".tmp", mp)  # manifest itself commits atomically
+        self._append_metrics(sdir, snapshot_id, stage, doc_col, error_kind,
+                             self.run_id)
+        out = self.spark.read.parquet(sdir)
+        return self._strip_errors(out, error_kind), StageResult(
+            stage, snapshot_id, sdir, resumed=False
+        )
+
+    def _append_metrics(
+        self,
+        sdir: str,
+        snapshot_id: int,
+        stage: str,
+        doc_col: str,
+        error_kind: str,
+        run_id: str,
+    ) -> None:
+        """Lineage rows from the *committed* files (exactly what a resume
+        reads), keyed by (snapshot_id, stage) for dedup."""
+        written = self.spark.read.parquet(sdir)
         kind_col = "kind" if "kind" in written.columns else None
         fail_expr = (
             F.sum((F.col(kind_col) == error_kind).cast("long"))
@@ -109,7 +157,7 @@ class CheckpointedRun:
             F.count("*").alias("span_count"),
             fail_expr.alias("failure_count"),
         ).select(
-            F.lit(self.run_id).alias("run_id"),
+            F.lit(run_id).alias("run_id"),
             F.lit(snapshot_id).alias("snapshot_id"),
             F.lit(stage).alias("stage"),
             F.col("partition_id").cast("int"),
@@ -118,25 +166,21 @@ class CheckpointedRun:
             "failure_count",
         )
         metrics.write.mode("append").parquet(self.metrics_dir())
-        # atomic commit: rename + manifest (↔ Iceberg snapshot commit)
-        if os.path.exists(sdir):
-            import shutil
 
-            shutil.rmtree(sdir)
-        os.rename(tmp, sdir)
-        with open(_manifest_path(sdir), "w") as f:
-            json.dump(
-                {
-                    "committed": True,
-                    "stage": stage,
-                    "snapshot_id": snapshot_id,
-                    "run_id": self.run_id,
-                },
-                f,
-            )
-        out = self.spark.read.parquet(sdir)
-        return self._strip_errors(out, error_kind), StageResult(
-            stage, snapshot_id, sdir, resumed=False
+    def _has_metrics(self, snapshot_id: int, stage: str) -> bool:
+        mdir = self.metrics_dir()
+        if not os.path.exists(mdir):
+            return False
+        try:
+            m = self.spark.read.parquet(mdir)
+        except Exception:
+            return False
+        return (
+            m.where(
+                (F.col("snapshot_id") == snapshot_id)
+                & (F.col("stage") == stage)
+            ).limit(1).count()
+            > 0
         )
 
     @staticmethod
@@ -146,4 +190,9 @@ class CheckpointedRun:
         return df.drop("partition_id")
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(self.metrics_dir())
+        """Lineage rows, deduped by (snapshot_id, stage, partition_id) —
+        a crash/replay can append the same snapshot's rows twice; the key
+        makes the duplicates idempotent instead of double-counting."""
+        return self.spark.read.parquet(self.metrics_dir()).dropDuplicates(
+            ["snapshot_id", "stage", "partition_id"]
+        )

@@ -334,6 +334,11 @@ def extract_chunks_native_to_parquet(
     )
     manifest = splits.mapInPandas(run, schema=MANIFEST_SCHEMA)
     if may_have_giants:
+        giants_dir = os.path.join(out_dir, "giants")
+        if resume and os.path.exists(os.path.join(giants_dir, "_SUCCESS")):
+            # giants already committed by a previous run (the _SUCCESS marker
+            # is written last by the parquet committer) — skip the whole tail
+            return manifest
         giants = _giants_scan(spark, path, giant_threshold)
         giant_spans = finalize_stage(
             strip_stage(explode_spans(giants)), html_tables=html_tables
@@ -345,7 +350,9 @@ def extract_chunks_native_to_parquet(
             delimiter=delimiter,
             overlapped_percent=overlapped_percent,
         )
-        giant_chunks.write.mode("append").parquet(os.path.join(out_dir, "giants"))
+        # overwrite (not append): the giants output is a pure function of the
+        # input, so reruns replace it instead of duplicating every giant doc
+        giant_chunks.write.mode("overwrite").parquet(giants_dir)
     return manifest
 
 

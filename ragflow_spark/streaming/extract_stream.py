@@ -4,7 +4,13 @@ The reference has no stream semantics (Redis queue of batch tasks,
 rag/svr/task_executor.py:189-227); this module is the Spark-native
 equivalent of its incremental ingestion: new document files landing in a
 directory are discovered by the file source, extracted exactly once
-(checkpointed source offsets), and appended to the chunk sink.
+(checkpointed source offsets), and written to the chunk sink.
+
+Exactly-once is end-to-end, not just source-side: ``foreachBatch`` is
+at-least-once (a crash after the sink write but before the offset commit
+replays the batch), so the sink is made idempotent by partitioning on
+``batch_id`` with dynamic partition overwrite — a replayed batch replaces
+its own partition instead of appending duplicates.
 
 ``foreachBatch`` reuses the batch operators verbatim — stream/batch parity
 is by construction, asserted in tests. Trigger.AvailableNow drains the
@@ -50,7 +56,14 @@ def stream_extract(
         chunks = extract_chunks_fused(
             batch_df, chunker=chunker, chunk_token_num=chunk_token_num
         ).withColumn("batch_id", F.lit(batch_id))
-        chunks.write.mode("append").parquet(output_dir)
+        # idempotent per batch: a replayed batch_id overwrites its own
+        # partition (dynamic mode leaves other batches' partitions intact)
+        (
+            chunks.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
 
     writer = docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -86,7 +99,9 @@ def stream_span_metrics(
                 F.countDistinct("doc_id").alias("doc_count"),
             )
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(output_dir)
         )
 

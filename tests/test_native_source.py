@@ -66,9 +66,10 @@ def test_sink_in_task_equals_fused(spark, corpus_path, tmp_path_factory):
         for r in extract_chunks_fused(spark.read.parquet(corpus_path)).collect()
     }
     assert a == b
-    # rerun is idempotent: same files, same content
+    # rerun is idempotent WITH real giants: the giants subdir is overwritten,
+    # not appended, so giant-doc chunks don't duplicate
     extract_chunks_native_to_parquet(
-        spark, corpus_path, out, giant_threshold=10**6
+        spark, corpus_path, out, giant_threshold=120
     ).count()
     again = {
         (r.doc_id, r.chunk_seq, r.text, r.token_count)
@@ -77,8 +78,13 @@ def test_sink_in_task_equals_fused(spark, corpus_path, tmp_path_factory):
         .collect()
     }
     assert again == b
-    # resume: a kill/rerun skips committed splits (n_docs=-1 marker) and
-    # still reports full lineage from the part-file footers
+    dup_check = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out)
+        .groupBy("doc_id", "chunk_seq").count()
+    )
+    assert dup_check.where("count > 1").count() == 0
+    # resume: a kill/rerun skips committed splits (n_docs=-1 marker) and the
+    # committed giants dir, and still reports full lineage
     import os
 
     one_part = sorted(
@@ -86,7 +92,7 @@ def test_sink_in_task_equals_fused(spark, corpus_path, tmp_path_factory):
     )[0]
     os.remove(os.path.join(out, one_part))  # simulate a split lost mid-run
     m2 = extract_chunks_native_to_parquet(
-        spark, corpus_path, out, giant_threshold=10**6, resume=True
+        spark, corpus_path, out, giant_threshold=120, resume=True
     ).toPandas()
     assert (m2["n_docs"] == -1).sum() == len(m2) - 1  # all but one skipped
     resumed = {

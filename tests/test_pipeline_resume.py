@@ -97,3 +97,49 @@ def test_failure_capture_lineage(spark, tmp_path_factory):
         .first()[0]
     )
     assert failures == 1
+
+
+def test_manifest_crash_tolerance_and_metric_dedup(spark, docs, tmp_path_factory):
+    """Truncated manifest reads as not-committed; a committed snapshot with
+    missing metrics is healed on resume; duplicate metric appends dedup."""
+    import json
+    import os
+
+    from ragflow_spark.plans.checkpoint import (
+        CheckpointedRun,
+        is_committed,
+        read_manifest,
+    )
+
+    base = str(tmp_path_factory.mktemp("ckpt_crash"))
+    run = CheckpointedRun(spark, base, run_id="c1")
+    df = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", F.col("s.kind").alias("kind"), F.col("s.text").alias("text"))
+    out, res = run.write_stage("demo", df)
+    n = out.count()
+    sdir = run.stage_dir("demo")
+
+    # 1. truncated manifest => not committed (resume recomputes, not crashes)
+    mp = os.path.join(sdir, "_manifest.json")
+    good = open(mp).read()
+    with open(mp, "w") as f:
+        f.write(good[: len(good) // 2])
+    assert is_committed(sdir) is False
+    with open(mp, "w") as f:
+        f.write(good)
+    assert is_committed(sdir) is True
+
+    # 2. crash window: metrics lost after commit -> healed on resume
+    import shutil
+
+    shutil.rmtree(run.metrics_dir())
+    out2, res2 = run.write_stage("demo", df)
+    assert res2.resumed
+    m = run.metrics().where(F.col("stage") == "demo")
+    assert m.agg(F.sum("span_count")).first()[0] == n
+
+    # 3. a double append of the same snapshot's rows does not double-count
+    run._append_metrics(sdir, res.snapshot_id, "demo", "doc_id", "__error__", "c1")
+    m2 = run.metrics().where(F.col("stage") == "demo")
+    assert m2.agg(F.sum("span_count")).first()[0] == n

@@ -94,3 +94,29 @@ def test_stream_batch_parity_and_incremental(spark, tmp_path_factory):
     assert got2 == want2
     total_rows = spark.read.parquet(out).count()
     assert total_rows == len(want2)
+
+    # replay: lose the last offset commit (crash after sink write, before
+    # checkpoint commit) — the replayed batch must overwrite its own
+    # batch_id partition, not append duplicates
+    commits = sorted(
+        glob.glob(ckpt + "/commits/[0-9]*"),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):  # local checksum FS shadow file
+        os.remove(crc)
+    import time
+
+    for q_old in (q, q2):
+        q_old.stop()
+    for _ in range(100):
+        if not spark.streams.active:
+            break
+        time.sleep(0.2)
+    q3 = stream_extract(spark, inp, out, ckpt)
+    q3.awaitTermination(240)
+    assert _chunkset(spark.read.parquet(out).drop("batch_id")) == want2
+    assert spark.read.parquet(out).count() == len(want2)
