@@ -114,8 +114,10 @@ NGRAM_JACCARD_SQL = _DUCK_SHINGLES + "," + _DUCK_JACCARD_TAIL
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard ≥ 0.5 near-dup pairs. Shingle equi-join +
-    two broadcast joins against the per-doc shingle counts."""
+    """Exact word-3-gram Jaccard ≥ 0.5 near-dup pairs. Shingle equi-join,
+    then shuffle joins against the per-doc shingle counts — cnt has one row
+    PER DOCUMENT, so it must never be broadcast (corpus-sized at 100 TB);
+    AQE turns these into broadcasts only when cnt is actually small."""
     docs = load(spark, sf_dir, "documents")
     ds = _shingles(docs).cache()
     cnt = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -130,8 +132,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        pairs.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
         .where(2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter"))
         .select(
             "doc_a",
@@ -207,9 +209,10 @@ def minhash_lsh_pairs(
     cnt = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
     na = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # cnt is per-doc (corpus-sized): shuffle join, never a forced broadcast
     return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .where(2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter"))
         .select(
             "doc_a",

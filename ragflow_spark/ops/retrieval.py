@@ -24,9 +24,11 @@ QUERY_MOD = 100  # query docs: doc_id % QUERY_MOD == 0
 
 def term_idf(spark: SparkSession, sf_dir: str, min_df: int = 2) -> DataFrame:
     """(token, df, idf_r6) over the documents corpus;
-    idf = ln((N+1)/(df+1)) rounded to 6 (absorbs last-ulp libm diffs)."""
+    idf = ln((N+1)/(df+1)) rounded to 6 (absorbs last-ulp libm diffs).
+    N is computed in the same plan (broadcast 1-row aggregate) — no separate
+    driver-side count() scan per invocation."""
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     tokens = docs.select(
         "doc_id",
         F.explode(
@@ -37,12 +39,13 @@ def term_idf(spark: SparkSession, sf_dir: str, min_df: int = 2) -> DataFrame:
         tokens.groupBy("token")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "token",
             "df",
-            F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6).alias(
-                "idf_r6"
-            ),
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("idf_r6"),
         )
     )
 
@@ -60,15 +63,9 @@ GROUP BY token HAVING count(*) >= 2
 """
 
 
-def hybrid_search(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = TOP_K,
-    query_mod: int = QUERY_MOD,
-) -> DataFrame:
-    """Per query doc: fused = 0.05·(token overlap / |query tokens|) +
-    0.95·cosine(query vec, doc vec); top-k by (fused desc, id). The query
-    side (docs ∪ vectors) broadcasts against the corpus."""
+def _tokvec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks, v): distinct lowercase tokens + L2-normalized vector
+    per document (documents ⋈ embeddings on id)."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
@@ -86,12 +83,19 @@ def hybrid_search(
     vec = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double") / norm).alias("v")
     )
-    corpus = docs.join(vec, docs.doc_id == vec.vec_id).select("doc_id", "toks", "v")
-    q = corpus.where(F.col("doc_id") % query_mod == 0).select(
-        F.col("doc_id").alias("query_id"),
-        F.col("toks").alias("qtoks"),
-        F.col("v").alias("qv"),
-    )
+    return docs.join(vec, docs.doc_id == vec.vec_id).select("doc_id", "toks", "v")
+
+
+def _fused_topk(
+    corpus: DataFrame,
+    q: DataFrame,
+    text_weight: float,
+    vec_weight: float,
+    k: int,
+    out_col: str,
+) -> DataFrame:
+    """Broadcast the bounded query side against the corpus, score
+    ``text_weight·overlap + vec_weight·cosine``, window top-k."""
     cos = F.aggregate(
         F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
     )
@@ -102,15 +106,52 @@ def hybrid_search(
         .select(
             "query_id",
             "doc_id",
-            F.round(F.lit(0.05) * text_sim + F.lit(0.95) * cos, 6).alias("fused_r6"),
+            F.round(
+                F.lit(text_weight) * text_sim + F.lit(vec_weight) * cos, 6
+            ).alias(out_col),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("fused_r6"), F.asc("doc_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(out_col), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "fused_r6")
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", out_col)
     )
+
+
+def _query_side(
+    corpus: DataFrame, query_mod: int, queries: DataFrame | None
+) -> DataFrame:
+    """The query side is an explicit BOUNDED batch by contract (the
+    reference caps retrieval at topk≤1024, rag/nlp/search.py:355-381) —
+    broadcasting it is safe because it is a query batch, never a corpus
+    fraction. ``queries`` is (doc_id) keys joined against the corpus; the
+    query_mod default exists only for the driver's deterministic harness."""
+    src = (
+        corpus.join(F.broadcast(queries.select("doc_id")), "doc_id")
+        if queries is not None
+        else corpus.where(F.col("doc_id") % query_mod == 0)
+    )
+    return src.select(
+        F.col("doc_id").alias("query_id"),
+        F.col("toks").alias("qtoks"),
+        F.col("v").alias("qv"),
+    )
+
+
+def hybrid_search(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Per query doc: fused = 0.05·(token overlap / |query tokens|) +
+    0.95·cosine(query vec, doc vec); top-k by (fused desc, id)
+    (reference search.py:100-133, FusionExpr weighted_sum 0.05,0.95)."""
+    corpus = _tokvec_corpus(spark, sf_dir)
+    q = _query_side(corpus, query_mod, queries)
+    return _fused_topk(corpus, q, 0.05, 0.95, k, "fused_r6")
 
 
 def rerank_fusion(
@@ -118,54 +159,14 @@ def rerank_fusion(
     sf_dir: str,
     k: int = TOP_K,
     query_mod: int = QUERY_MOD,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Rerank (reference rag/nlp/search.py:279-339): blend token-overlap
-    similarity 0.3 with dense cosine 0.7 over the hybrid candidate set,
-    re-rank per query. Same corpus join shape as hybrid_search; distinct
-    weights + explicit rerank stage (window re-order of an existing
-    candidate list)."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
-            "toks"
-        ),
-    )
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    vec = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double") / norm).alias("v")
-    )
-    corpus = docs.join(vec, docs.doc_id == vec.vec_id).select("doc_id", "toks", "v")
-    q = corpus.where(F.col("doc_id") % query_mod == 0).select(
-        F.col("doc_id").alias("query_id"),
-        F.col("toks").alias("qtoks"),
-        F.col("v").alias("qv"),
-    )
-    cos = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-    )
-    tksim = F.size(F.array_intersect("qtoks", "toks")) / F.size("qtoks")
-    scored = (
-        corpus.crossJoin(F.broadcast(q))
-        .where(F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(F.lit(0.3) * tksim + F.lit(0.7) * cos, 6).alias("rerank_r6"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("rerank_r6"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "rerank_r6")
-    )
+    similarity 0.3 with dense cosine 0.7, re-rank per query (window
+    re-order of an existing candidate list)."""
+    corpus = _tokvec_corpus(spark, sf_dir)
+    q = _query_side(corpus, query_mod, queries)
+    return _fused_topk(corpus, q, 0.3, 0.7, k, "rerank_r6")
 
 
 RERANK_FUSION_SQL = f"""
@@ -207,17 +208,18 @@ def tag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     s_tot = docs.groupBy("source").agg(F.count("*").alias("cnt"))
     tag_tot = docs.groupBy("lang").agg(F.count("*").alias("all_tag"))
-    n_langs = docs.select("lang").distinct().count()
+    n_langs = docs.agg(F.countDistinct("lang").alias("n_langs"))
     by = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
     return (
         by.join(F.broadcast(s_tot), "source")
         .join(F.broadcast(tag_tot), "lang")
+        .crossJoin(F.broadcast(n_langs))
         .select(
             "source",
             F.col("lang").alias("tag"),
             F.col("c").cast("int").alias("c"),
             F.round(
-                (F.col("c") + 1) / (F.col("cnt") + F.lit(n_langs)) / F.col("all_tag"),
+                (F.col("c") + 1) / (F.col("cnt") + F.col("n_langs")) / F.col("all_tag"),
                 6,
             ).alias("feat_r6"),
         )

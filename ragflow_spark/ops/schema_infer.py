@@ -32,16 +32,20 @@ def _classify(col):
 
 
 def infer_column_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stringify the events table, unpivot to (column, value), classify each
-    cell, majority-vote per column (ties broken by type name order)."""
+    """Stringify the events table, unpivot to (column, value) with one
+    ``stack`` projection (ONE table scan — a per-column unionByName would
+    rescan the table once per column), classify each cell, majority-vote
+    per column (ties broken by type name order)."""
     ev = load(spark, sf_dir, "events")
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    long_df = None
-    for c in cols:
-        part = ev.select(
-            F.lit(c).alias("col_name"), F.col(c).cast("string").alias("str_val")
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in cols
+    )
+    long_df = ev.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as (col_name, str_val)"
         )
-        long_df = part if long_df is None else long_df.unionByName(part)
+    )
     votes = (
         long_df.where(F.col("str_val").isNotNull())
         .select("col_name", _classify(F.col("str_val")).alias("cell_type"))

@@ -45,12 +45,25 @@ def _normed(emb: DataFrame, idcol: str = "vec_id") -> DataFrame:
 
 
 def knn_bruteforce(
-    spark: SparkSession, sf_dir: str, k: int = KNN_K, query_mod: int = QUERY_MOD
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    query_mod: int = QUERY_MOD,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the query vectors against the corpus."""
+    """Exact cosine top-k: broadcast the query vectors against the corpus.
+
+    The query side is an explicit BOUNDED DataFrame of (vec_id, embedding)
+    — the operator contract is a query batch (the reference caps retrieval
+    at topk≤1024 candidates, rag/nlp/search.py:355-381), never a corpus
+    fraction; broadcasting it is safe by contract. The query_mod default
+    exists only for the driver's deterministic test harness."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = _normed(emb)
-    q = n.where(F.col("vec_id") % query_mod == 0).select(
+    qsrc = _normed(queries) if queries is not None else n.where(
+        F.col("vec_id") % query_mod == 0
+    )
+    q = qsrc.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     scored = n.crossJoin(F.broadcast(q)).where(
@@ -94,52 +107,63 @@ FROM scored WHERE rank <= {KNN_K}
 # ---------------------------------------------------------------------- IVF
 
 
+def _avg_by(df: DataFrame, keycol) -> DataFrame:
+    """Per-key element-wise mean of the normalized vectors, renormalized.
+    posexplode → two-phase avg: the explode is narrow (same stage) and the
+    partial aggregation bounds shuffle volume to nlist × dim per input
+    partition — no driver-side dim probe, no corpus-sized shuffle."""
+    e = df.select(
+        keycol.alias("list_id"), F.posexplode("v").alias("pos", "x")
+    )
+    comp = e.groupBy("list_id", "pos").agg(F.avg("x").alias("m"))
+    arr = comp.groupBy("list_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+    ).select("list_id", F.transform("pm", lambda s: s["m"]).alias("c"))
+    cn = F.sqrt(
+        F.aggregate(F.transform("c", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return arr.select("list_id", F.transform("c", lambda x: x / cn).alias("c"))
+
+
+def _assign(n: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as ONE projection: the (tiny) centroid
+    table is collapsed to a single array row, broadcast, and the argmax is a
+    JVM array_max over structs — no ×nlist row blowup, no window shuffle.
+    Tie-break on the smaller list_id via the negated-id struct field."""
+    cents = cents_df.agg(
+        F.collect_list(F.struct("list_id", "c")).alias("cents")
+    )
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda s: F.struct(
+                _dot(F.col("v"), s["c"]).alias("cos"),
+                (-s["list_id"]).cast("int").alias("neg_id"),
+            ),
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", best.alias("best"))
+        .select(
+            "vec_id", "v", (-F.col("best.neg_id")).cast("int").alias("list_id")
+        )
+    )
+
+
 def ivf_assignments(
     spark: SparkSession, sf_dir: str, nlist: int = 16
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments): deterministic seed lists (vec_id % nlist),
-    one Lloyd step. Centroid table is tiny → broadcast everywhere."""
+    one Lloyd step. Centroid table is tiny → broadcast everywhere; each
+    assignment pass is a shuffle-free projection over the corpus."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = _normed(emb).cache()
-    dim = len(n.select("v").head()[0])
-
-    def avg_by(df: DataFrame, keycol) -> DataFrame:
-        sums = df.groupBy(keycol.alias("list_id")).agg(
-            F.array(
-                *[F.avg(F.element_at("v", i + 1)) for i in range(dim)]
-            ).alias("c"),
-        )
-        cn = F.sqrt(F.aggregate(F.transform("c", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-        return sums.select("list_id", F.transform("c", lambda x: x / cn).alias("c"))
-
-    seed = avg_by(n, (F.col("vec_id") % nlist).cast("int"))
-    assigned = (
-        n.crossJoin(F.broadcast(seed))
-        .select("vec_id", "v", "list_id", _dot(F.col("v"), F.col("c")).alias("cos"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("list_id"))
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "list_id")
-    )
-    centroids = avg_by(assigned, F.col("list_id")).cache()
-    final = (
-        n.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "v", "list_id", _dot(F.col("v"), F.col("c")).alias("cos"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("list_id"))
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "list_id")
-    )
+    seed = _avg_by(n, (F.col("vec_id") % nlist).cast("int"))
+    assigned = _assign(n, seed)
+    centroids = _avg_by(assigned, F.col("list_id")).cache()
+    final = _assign(n, centroids)
     # consumed twice downstream (query side + probe join) — don't recompute
-    # the two crossJoin+window passes per consumer
     return centroids, final.cache()
 
 
@@ -150,11 +174,19 @@ def knn_ivf(
     query_mod: int = QUERY_MOD,
     nlist: int = 16,
     nprobe: int = 4,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the nprobe nearest inverted lists per query. Scans
-    ~nprobe/nlist of the corpus; recall vs brute force asserted in tests."""
+    ~nprobe/nlist of the corpus; recall vs brute force asserted in tests.
+
+    ``queries`` is an explicit bounded (vec_id, embedding) batch — same
+    contract as knn_bruteforce; the query-side crossJoin×nlist + window is
+    bounded by the query batch size, never the corpus."""
     centroids, assigned = ivf_assignments(spark, sf_dir, nlist)
-    q = assigned.where(F.col("vec_id") % query_mod == 0).select(
+    qsrc = _normed(queries) if queries is not None else assigned.where(
+        F.col("vec_id") % query_mod == 0
+    )
+    q = qsrc.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     probes = (
