@@ -213,11 +213,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "dedup_simhash": dedup.simhash_pairs,  # rows-only (hash-dependent)
+        "dedup_simhash": dedup.simhash_pairs,
         "embedding_neardup": dedup.embedding_neardup,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
-        "knn_ivf": similarity.knn_ivf,  # rows-only (ANN; recall tested)
+        "knn_ivf": similarity.knn_ivf,
         # relational surface
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
@@ -248,8 +248,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": dedup.MINHASH_LSH_SQL,
+        "dedup_simhash": dedup.SIMHASH_SQL,
         "embedding_neardup": dedup.EMBEDDING_NEARDUP_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
+        "knn_ivf": similarity.KNN_IVF_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "top_revenue_orders": relational.TOP_REVENUE_SQL,
         "top_orders_per_customer": relational.TOP_ORDERS_PER_CUSTOMER_SQL,
@@ -263,4 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "rerank_fusion": retrieval.RERANK_FUSION_SQL,
         "tag_features": retrieval.TAG_FEATURES_SQL,
         "infer_column_types": schema_infer.INFER_COLUMN_TYPES_SQL,
+        "media_inventory": multimodal.MEDIA_INVENTORY_SQL,
+        "image_features": multimodal.IMAGE_FEATURES_SQL,
+        "frame_sample": multimodal.FRAME_SAMPLE_SQL,
     }

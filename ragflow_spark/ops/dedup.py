@@ -232,35 +232,36 @@ MINHASH_LSH_SQL = NGRAM_JACCARD_SQL
 # ------------------------------------------------------------------- SimHash
 
 
-def _simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash: per-token blake2b-64 bit votes (deterministic, no
-    external hash lib); numpy-vectorized over the token axis."""
+SIMHASH_BITS = 60  # md5 hex chars [17:32) → 60-bit token hash, SQL-shareable
+
+
+def _simhash60(tokens: list[str]) -> int:
+    """60-bit SimHash: per-token md5-substring hash votes. md5 is the one
+    hash both Spark-side Python and the DuckDB oracle compute bit-for-bit,
+    which makes the whole signature SQL-expressible; numpy-vectorized over
+    the token axis."""
     if not tokens:
         return 0
     hs = np.array(
         [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            int(hashlib.md5(t.encode()).hexdigest()[17:32], 16)
             for t in tokens
         ],
-        dtype=np.uint64,
+        dtype=np.int64,
     )
-    shifts = np.arange(64, dtype=np.uint64)
-    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    bits = ((hs[:, None] >> shifts[None, :]) & 1).astype(np.int32)
     votes = np.where(bits == 1, 1, -1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out & np.uint64(0x7FFFFFFFFFFFFFFF))  # signed-long range
+    return int(((votes > 0).astype(np.int64) << shifts).sum())
 
 
 def simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 7
 ) -> DataFrame:
-    """SimHash near-dup: Arrow-batched signature UDF, then 4×16-bit band
-    buckets (pigeonhole: hamming≤7 with 8 bands... here 4 bands ⇒ guaranteed
-    recall for hamming≤3; wider hamming caught probabilistically) and exact
-    ``bit_count(a^b)`` verification JVM-side."""
+    """SimHash near-dup: Arrow-batched signature UDF, then 4×15-bit band
+    buckets (pigeonhole: guaranteed recall for hamming≤3; wider hamming
+    caught probabilistically) and exact ``bit_count(a^b)`` verification
+    JVM-side."""
     docs = load(spark, sf_dir, "documents")
 
     def sig_batches(batches):
@@ -269,7 +270,7 @@ def simhash_pairs(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "sim": [_simhash64(t) for t in toks],
+                    "sim": [_simhash60(t) for t in toks],
                 }
             )
 
@@ -280,7 +281,7 @@ def simhash_pairs(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                F.shiftrightunsigned(F.col("sim"), 15 * i).bitwiseAND(F.lit(0x7FFF)).alias("bh"),
             )
             for i in range(4)
         ]
@@ -303,6 +304,40 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 18, 15) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM tok, generate_series(0, {SIMHASH_BITS - 1}) s(b)
+  GROUP BY doc_id, b),
+sig0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              AS BIGINT) AS sim
+  FROM bits GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id, coalesce(s.sim, 0) AS sim
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+buckets AS (
+  SELECT doc_id, sim, band, (sim >> (15 * band)) & 32767 AS bh
+  FROM sig, generate_series(0, 3) t(band)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+  FROM buckets a JOIN buckets b USING (band, bh)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 7
+"""
 
 
 # ------------------------------------------------- embedding cosine near-dup

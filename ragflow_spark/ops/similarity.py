@@ -122,7 +122,12 @@ def _avg_by(df: DataFrame, keycol) -> DataFrame:
     cn = F.sqrt(
         F.aggregate(F.transform("c", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    return arr.select("list_id", F.transform("c", lambda x: x / cn).alias("c"))
+    # quantize centroid components: float summation order differs between
+    # engines (and partitionings), so round to 9 decimals to make centroids
+    # — and everything assigned from them — bit-reproducible
+    return arr.select(
+        "list_id", F.transform("c", lambda x: F.round(x / cn, 9)).alias("c")
+    )
 
 
 def _assign(n: DataFrame, cents_df: DataFrame) -> DataFrame:
@@ -216,3 +221,71 @@ def knn_ivf(
             F.col("vec_id").alias("neighbor_id"),
         )
     )
+
+
+# DuckDB oracle: the IVF pipeline is fully deterministic (seed lists =
+# vec_id % nlist, quantized centroids, argmax assignment, fixed probes), so
+# the whole thing is expressible with window functions + list_dot_product.
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+
+KNN_IVF_SQL = f"""
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv))) AS v
+  FROM d),
+se AS (
+  SELECT CAST(vec_id % {_IVF_NLIST} AS INTEGER) AS list_id,
+         unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos
+  FROM n),
+sm AS (SELECT list_id, pos, avg(x) AS m FROM se GROUP BY list_id, pos),
+sc0 AS (SELECT list_id, list(m ORDER BY pos) AS c FROM sm GROUP BY list_id),
+seed AS (
+  SELECT list_id,
+         list_transform(c, x -> round(x / sqrt(list_dot_product(c, c)), 9)) AS c
+  FROM sc0),
+a1 AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT n.vec_id, n.v, s.list_id,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, s.c) DESC,
+                                       s.list_id ASC) AS rn
+    FROM n, seed s) t WHERE rn = 1),
+le AS (
+  SELECT list_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos
+  FROM a1),
+lm AS (SELECT list_id, pos, avg(x) AS m FROM le GROUP BY list_id, pos),
+lc0 AS (SELECT list_id, list(m ORDER BY pos) AS c FROM lm GROUP BY list_id),
+cent AS (
+  SELECT list_id,
+         list_transform(c, x -> round(x / sqrt(list_dot_product(c, c)), 9)) AS c
+  FROM lc0),
+a2 AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT n.vec_id, n.v, c.list_id,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, c.c) DESC,
+                                       c.list_id ASC) AS rn
+    FROM n, cent c) t WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM a2 WHERE vec_id % {QUERY_MOD} = 0),
+probes AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, c.list_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qv, c.c) DESC,
+                                       c.list_id ASC) AS rn
+    FROM q, cent c) t WHERE rn <= {_IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id, list_dot_product(p.qv, a.v) AS cos
+  FROM probes p JOIN a2 a USING (list_id)
+  WHERE a.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id
+FROM ranked WHERE rank <= {KNN_K}
+"""

@@ -38,7 +38,8 @@ def test_image_features_and_resize(spark, media):
     n_images = media.where("kind = 'image'").count()
     assert len(feats) == n_images
     for f in feats:
-        assert 0 <= f["mean_px"] <= 255
+        assert 0 <= f["mean_r6"] <= 255
+        assert f["var_r6"] >= 0
         assert f["n_px"] > 0
     small = multimodal.resize_images(media, target=16).collect()
     assert len(small) == n_images
