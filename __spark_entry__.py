@@ -49,8 +49,12 @@ def _corpus_path(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
+    from ragflow_spark.datagen import CORPUS_VERSION
+
     count = _SF_COUNT.get(_sf_of(sf_dir), 200)
-    path = os.path.join(tempfile.gettempdir(), f"rfs_corpus_{count}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"rfs_corpus_v{CORPUS_VERSION}_{count}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from ragflow_spark.datagen import write_corpus
 

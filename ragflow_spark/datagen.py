@@ -15,6 +15,10 @@ import random
 
 from ragflow_spark.schemas import PAGE_H, PAGE_W, Geom, pack_geom
 
+# bump when generated content changes for the same (seed, doc_index) —
+# cached corpus directories are keyed on this (entry's _corpus_path)
+CORPUS_VERSION = 2
+
 PROFILES = [
     ("html_boiler", 25),
     ("pdf_single_col", 20),
@@ -165,6 +169,10 @@ def _gen_pdf_tablefig(doc_id: str, r: random.Random) -> list[dict]:
     n_cols = r.randint(2, 4)
     n_rows = r.randint(2, 4)
     headers = [r.choice(WORDS) for _ in range(n_cols)]
+    # half the tables carry a two-row header whose top row has a cell
+    # spanning the first two columns (post-TSR SP analog) — exercises
+    # rowspan/colspan resolution + hierarchical header concat
+    group_header = n_cols >= 3 and r.random() < 0.5
     lo_counter = 0
     for pn in range(pages):
         spans.append(_span("text", _sentence(r, 8, 14), pack_geom(_text_line_geom(pn, 0, 72, 440)), off)); off += 1
@@ -176,18 +184,31 @@ def _gen_pdf_tablefig(doc_id: str, r: random.Random) -> list[dict]:
                   pack_geom(_text_line_geom(pn, cap_line, 100, 300)), off)
         ); off += 1
         cell_w = 100.0
-        for ri in range(n_rows + 1):  # +1 header row
+        row0_line = cap_line + 1
+        if group_header:
+            # spanning group cell over columns 0-1, plain header over the rest
+            g = Geom(pn, 90, 90 + 2 * cell_w - 10,
+                     72.0 + row0_line * 14.0, 72.0 + row0_line * 14.0 + 10.0, lo)
+            spans.append(_span("table header", f"{r.choice(WORDS)} group", pack_geom(g), off)); off += 1
+            for ci in range(2, n_cols):
+                g = Geom(pn, 90 + ci * cell_w, 90 + ci * cell_w + cell_w - 10,
+                         72.0 + row0_line * 14.0, 72.0 + row0_line * 14.0 + 10.0, lo)
+                spans.append(_span("table header", r.choice(WORDS), pack_geom(g), off)); off += 1
+            row0_line += 1
+        for ri in range(n_rows + 1):  # +1 leaf header row
             for ci in range(n_cols):
+                kind = "table header" if ri == 0 else "table"
                 txt = headers[ci] if ri == 0 else str(r.randint(1, 999))
                 g = Geom(pn, 90 + ci * cell_w, 90 + ci * cell_w + cell_w - 10,
-                         72.0 + (cap_line + 1 + ri) * 14.0, 72.0 + (cap_line + 1 + ri) * 14.0 + 10.0, lo)
-                spans.append(_span("table", txt, pack_geom(g), off)); off += 1
+                         72.0 + (row0_line + ri) * 14.0, 72.0 + (row0_line + ri) * 14.0 + 10.0, lo)
+                spans.append(_span(kind, txt, pack_geom(g), off)); off += 1
         # credit line to drop (pdf_parser.py:687)
-        g = Geom(pn, 90, 200, 72.0 + (cap_line + n_rows + 2) * 14.0, 72.0 + (cap_line + n_rows + 2) * 14.0 + 10, lo)
+        credit_line = row0_line + n_rows + 1
+        g = Geom(pn, 90, 200, 72.0 + credit_line * 14.0, 72.0 + credit_line * 14.0 + 10, lo)
         spans.append(_span("table", "数据来源: internal", pack_geom(g), off)); off += 1
         # figure region with caption below
         lo = lo_counter; lo_counter += 1
-        fig_line = cap_line + n_rows + 5
+        fig_line = credit_line + 3
         fg = Geom(pn, 150, 400, 72.0 + fig_line * 14.0, 72.0 + fig_line * 14.0 + 80.0, lo)
         spans.append(_span("figure", "", pack_geom(fg, blob=f"blob://{doc_id}/{pn}"), off)); off += 1
         spans.append(

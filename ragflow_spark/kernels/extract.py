@@ -145,7 +145,12 @@ def finalize_doc(rows: list[dict], html_tables: bool = False) -> list[dict]:
             # that here, but keep media-bearing spans (figures)
             if not (s.get("text") or "").strip() and not strip_geom(s.get("media_ref")):
                 continue
-            kind = s["kind"] if s["kind"] in ("title", "table", "figure") else "text"
+            if s["kind"] in ("title", "figure"):
+                kind = s["kind"]
+            elif s["kind"] in ("table", "table header"):
+                kind = "table"
+            else:
+                kind = "text"
             plain_out.append(_out(kind, s.get("text") or "", strip_geom(s.get("media_ref"))))
 
     pdf_out = layout_doc(boxes, html_tables=html_tables)

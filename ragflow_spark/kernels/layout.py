@@ -186,7 +186,8 @@ def horizontal_merge(boxes: list[dict], col_threshold: float | None = None) -> l
             if (p["lo"] >= 0 or b["lo"] >= 0)
             else (p["pn"] == b["pn"] and p["kind"] == b["kind"])
         )
-        mergeable_kind = b["kind"] not in ("table", "figure") and p["kind"] not in ("table", "figure")
+        _cellish = ("table", "table header", "figure")
+        mergeable_kind = b["kind"] not in _cellish and p["kind"] not in _cellish
         if (
             same_region
             and mergeable_kind

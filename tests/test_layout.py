@@ -132,19 +132,77 @@ def test_bullet_merge():
     assert [b["text"] for b in out] == ["• item one\n• item two", "plain"]
 
 
-def test_construct_table_desc():
+def _table_fixture(header_kind="table header"):
     cells = []
     headers = ["name", "qty"]
     for ci, h in enumerate(headers):
-        cells.append(box(h, kind="table", x0=90 + ci * 100, x1=180 + ci * 100, top=100, bottom=110, lo=0))
+        cells.append(box(h, kind=header_kind, x0=90 + ci * 100, x1=180 + ci * 100, top=100, bottom=110, lo=0))
     for ri, row in enumerate([["apple", "3"], ["pear", "7"]]):
         for ci, v in enumerate(row):
             cells.append(box(v, kind="table", x0=90 + ci * 100, x1=180 + ci * 100,
                              top=114 + ri * 14, bottom=124 + ri * 14, lo=0))
+    return cells
+
+
+def test_construct_table_desc():
+    # header row carries the H tag (kind "table header"): "hdr：value; …"
+    cells = _table_fixture()
     txt = construct_table(cells)
-    assert txt == "name: apple; qty: 3\nname: pear; qty: 7"
+    assert txt == "name：apple; qty：3\nname：pear; qty：7"
     html = construct_table(cells, html=True)
     assert html.startswith("<table><tr><th>name</th><th>qty</th></tr>")
+
+
+def test_construct_table_numeric_header_detection():
+    # no H tags at all: the >50%-non-numeric rule (tsr.py:326-340) finds the
+    # header row because the table majority type is Nu
+    cells = _table_fixture(header_kind="table")
+    # make the body numeric-majority: 4 Nu cells vs 2 En headers vs 2 En body
+    for c in cells:
+        if c["text"] in ("apple", "pear"):
+            c["text"] = "12.5" if c["text"] == "apple" else "7,100"
+    txt = construct_table(cells)
+    assert txt == "name：12.5; qty：3\nname：7,100; qty：7"
+
+
+def test_construct_table_spanning_group_header():
+    # two-row header; the top row's single cell spans both columns
+    # (geometric SP analog): hierarchical concat gives
+    # "metrics group for name：…" (tsr.py:399-501 的/for concat)
+    cells = [
+        box("metrics group", kind="table header", x0=90, x1=280, top=86, bottom=96, lo=0)
+    ] + _table_fixture()
+    txt = construct_table(cells)
+    assert txt == (
+        "metrics group for name：apple; metrics group for qty：3\n"
+        "metrics group for name：pear; metrics group for qty：7"
+    )
+    html = construct_table(cells, html=True)
+    assert '<th colspan="2">metrics group</th>' in html
+    assert "<th>name</th><th>qty</th>" in html
+
+
+def test_construct_table_singleton_column_relocation():
+    # 4 rows x 3 cols; middle column occupied only at row 1 whose left
+    # neighbor is empty -> the singleton merges left and the column is
+    # dropped (tsr.py:203-264)
+    xs = [90, 190, 290]
+    cells = []
+    for ri in range(4):
+        for ci in (0, 2):
+            if ri == 1 and ci == 0:
+                continue  # hole left of the singleton
+            cells.append(box(f"r{ri}c{ci}", kind="table", x0=xs[ci], x1=xs[ci] + 90,
+                             top=100 + ri * 14, bottom=110 + ri * 14, lo=0))
+    cells.append(box("stray", kind="table", x0=xs[1], x1=xs[1] + 90,
+                     top=114, bottom=124, lo=0))
+    txt = construct_table(cells)
+    # no headers (no H, majority not Nu): rows render without prefixes,
+    # 2 columns after relocation; "stray" lands in column 0 of row 1
+    assert "stray" in txt
+    html = construct_table(cells, html=True)
+    assert html.count("<tr>") == 4
+    assert "<td>stray</td>" in html
 
 
 def test_assemble_caption_to_nearest():
@@ -161,7 +219,8 @@ def test_assemble_caption_to_nearest():
     kinds = sorted(m["kind"] for m in media)
     assert kinds == ["figure", "table"]
     tbl = next(m for m in media if m["kind"] == "table")
-    assert tbl["text"].startswith("Table 1: stuff\n")
+    # caption now renders reference-style as a per-row suffix
+    assert "Table 1: stuff" in tbl["text"] and tbl["text"].startswith("h")
     figm = next(m for m in media if m["kind"] == "figure")
     assert figm["text"] == "Figure 1: pic"
     assert figm["media_ref"].startswith("blob://d/0")
