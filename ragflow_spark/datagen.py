@@ -17,7 +17,7 @@ from ragflow_spark.schemas import PAGE_H, PAGE_W, Geom, pack_geom
 
 # bump when generated content changes for the same (seed, doc_index) —
 # cached corpus directories are keyed on this (entry's _corpus_path)
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 PROFILES = [
     ("html_boiler", 25),
@@ -123,6 +123,13 @@ def _gen_pdf_single_col(doc_id: str, r: random.Random, pages: int | None = None)
         spans.append(_span("text", f"{pn + 1} / {pages}", pack_geom(Geom(pn, 280, 330, 775, 785)), off)); off += 1
         if pn == 0:
             spans.append(_span("title", _sentence(r, 3, 6, end=""), pack_geom(_text_line_geom(pn, 0, 72, 300)), off)); off += 1
+        # narrow untagged margin-note scraps (dropped by the scrap filter);
+        # offset half a line vertically so they never share a visual line
+        if r.random() < 0.4:
+            for j in range(r.randint(1, 3)):
+                g = Geom(pn, 545, 585, 72.0 + (4 + j * 2) * 14.0 + 5.0,
+                         72.0 + (4 + j * 2) * 14.0 + 15.0)
+                spans.append(_span("text", f"rev {r.randint(1, 40)}", pack_geom(g), off)); off += 1
         line = 2
         while line < lines_per_page:
             n_lines = r.randint(1, 4)

@@ -10,7 +10,7 @@ SURVEY.md §3.2):
                  column detection + reading order, horizontal merge
     3. assemble— table/figure region grouping, cross-page merge, caption 1-NN,
                  grid reconstruction; then vertical merge, ToC removal,
-                 bullet merge over the remaining text stream
+                 bullet merge, scrap filter over the remaining text stream
     4. emit    — interleaved (kind, text, media_ref) spans in final reading
                  order, seq dense from 0
 
@@ -30,6 +30,7 @@ from ragflow_spark.kernels.layout import (
     bullet_merge,
     drop_garbage,
     drop_junk,
+    filter_scraps,
     filter_toc,
     horizontal_merge,
     median_height,
@@ -83,6 +84,7 @@ def layout_doc(boxes: list[dict], html_tables: bool = False) -> list[dict]:
     rest = vertical_merge(rest, eng)
     rest = filter_toc(rest)
     rest = bullet_merge(rest)
+    rest = filter_scraps(rest)
     merged = rest + media
     merged.sort(key=lambda b: (b["pn"] * PAGE_H + b["top"], b["x0"]))
     out = []

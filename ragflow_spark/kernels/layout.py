@@ -15,6 +15,7 @@ These implement the *live semantics* of the reference's box pipeline
 - naive vertical merge      (pdf_parser.py:430-479)
 - ToC / dot-leader page removal (pdf_parser.py:593-642)
 - same-bullet merge         (pdf_parser.py:644-666)
+- scrap filter              (pdf_parser.py:881-992 proj_match + __filterout_scraps)
 
 A "box" is a dict: {kind, text, media_ref, pn, x0, x1, top, bottom, lo}.
 All ops are deterministic and order-stable; fixtures' expected outputs are
@@ -367,6 +368,116 @@ def bullet_merge(boxes: list[dict]) -> list[dict]:
         b_["pn"] = b["pn"]
         bxs.pop(i)
     return bxs
+
+
+# numbering/outline patterns that mark a line as a "projection" (heading /
+# enumerated item) — pdf_parser.py:881-903 proj_match; the semantics are the
+# patterns themselves
+_PROJ_PURE_NUM = re.compile(r"[0-9 ().,%+/-]+$")
+_PROJ_PATTERNS = [
+    (re.compile(r"第[零一二三四五六七八九十百]+章"), 1),
+    (re.compile(r"第[零一二三四五六七八九十百]+[条节]"), 2),
+    (re.compile(r"[零一二三四五六七八九十百]+[、 　]"), 3),
+    (re.compile(r"[\(（][零一二三四五六七八九十百]+[）\)]"), 4),
+    (re.compile(r"[0-9]+(、|\.[　 ]|\.[^0-9])"), 5),
+    (re.compile(r"[0-9]+\.[0-9]+(、|[. 　]|[^0-9])"), 6),
+    (re.compile(r"[0-9]+\.[0-9]+\.[0-9]+(、|[ 　]|[^0-9])"), 7),
+    (re.compile(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+(、|[ 　]|[^0-9])"), 8),
+    (re.compile(r".{,48}[：:?？]$"), 9),
+    (re.compile(r"[0-9]+）"), 10),
+    (re.compile(r"[\(（][0-9]+[）\)]"), 11),
+    (re.compile(r"[零一二三四五六七八九十百]+是"), 12),
+    (re.compile(r"[⚫•➢✓]"), 12),
+]
+
+
+def proj_match(line: str) -> int | bool | None:
+    """Outline-numbering class of a line (pdf_parser.py:881-903): None for
+    too-short lines, False for pure-numeric lines, else the pattern rank."""
+    if len(line) <= 2:
+        return None
+    if _PROJ_PURE_NUM.match(line):
+        return False
+    for pat, rank in _PROJ_PATTERNS:
+        if pat.match(line):
+            return rank
+    return None
+
+
+def _scrap_usefull(b: dict, pw: float, mh: float) -> bool:
+    """A box is worth keeping on its own when it is layout-tagged, wide
+    (>page_width/3), or tall (>mean height) — pdf_parser.py:929-937. Tagged
+    here = carries a layout-region id or a non-plain-text kind (the analog
+    of the reference's layout_type)."""
+    if b["lo"] >= 0 or b["kind"] != "text":
+        return True
+    if b["x1"] - b["x0"] > pw / 3:
+        return True
+    return b["bottom"] - b["top"] > mh
+
+
+def filter_scraps(boxes: list[dict], page_w: float = PAGE_W) -> list[dict]:
+    """Scrap filter (pdf_parser.py:922-992 __filterout_scraps): walk the
+    stream grouping each useful box with following useful boxes on the same
+    page that are x-aligned (<page_width/10) or projection-continuations;
+    keep a run when its first line is a projection/title or its mean width
+    is >=0.35 of the page (or >200px). Narrow untagged runs — margin notes,
+    decorative columns — are dropped. Boxes are returned (not a joined
+    string: positions stay structs per the SURVEY ruling), in their
+    original reading order."""
+    if not boxes:
+        return boxes
+    mh = page_mean_height(boxes)
+    order = {id(b): i for i, b in enumerate(boxes)}
+    bxs = list(boxes)
+    kept: list[dict] = []
+    while bxs:
+        first = bxs[0]
+        mhp = mh.get(first["pn"], 10.0)
+        mj = bool(proj_match((first["text"] or "").strip())) or first["kind"] == "title"
+        lines: list[dict] = []
+        if _scrap_usefull(first, page_w, mhp):
+            cur = bxs.pop(0)
+            lines.append(cur)
+            while True:
+                mmj = (
+                    bool(proj_match((cur["text"] or "").strip()))
+                    or cur["kind"] == "title"
+                )
+                cur_h = cur["bottom"] - cur["top"]
+                nxt = None
+                for i in range(min(19, len(bxs))):
+                    b = bxs[i]
+                    if b["pn"] > cur["pn"]:
+                        break
+                    y_dis = abs(
+                        (cur["pn"] * PAGE_H + (cur["top"] + cur["bottom"]) / 2)
+                        - (b["pn"] * PAGE_H + (b["top"] + b["bottom"]) / 2)
+                    )
+                    if not mmj and y_dis >= 3 * mhp and cur_h < 1.5 * mhp:
+                        break
+                    if not _scrap_usefull(b, page_w, mhp):
+                        continue
+                    x_overlap = not (cur["x1"] < b["x0"] or cur["x0"] > b["x1"])
+                    x_dis = 0.0 if x_overlap else min(
+                        abs(cur["x1"] - b["x0"]), abs(cur["x0"] - b["x1"])
+                    )
+                    if mmj or x_dis < page_w / 10:
+                        nxt = i
+                        break
+                if nxt is None:
+                    break
+                cur = bxs.pop(nxt)
+                lines.append(cur)
+        else:
+            bxs.pop(0)  # waste: narrow, short, untagged
+        if not lines:
+            continue
+        mw = float(np.mean([b["x1"] - b["x0"] for b in lines]))
+        if mj or mw / page_w >= 0.35 or mw > 200:
+            kept.extend(lines)
+    kept.sort(key=lambda b: order[id(b)])
+    return kept
 
 
 def drop_credits(boxes: list[dict]) -> list[dict]:

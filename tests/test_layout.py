@@ -230,3 +230,46 @@ def test_assemble_caption_to_nearest():
 def test_credit_line_dropped():
     boxes = [box("数据来源: internal", kind="table", lo=0), box("keep", kind="text")]
     assert [b["text"] for b in L.drop_credits(boxes)] == ["keep"]
+
+
+def test_proj_match_ranks():
+    assert L.proj_match("ab") is None
+    assert L.proj_match("12 345.6%") is False
+    assert L.proj_match("第三章 总则") == 1
+    assert L.proj_match("1. Introduction") == 5
+    assert L.proj_match("2.3 Methods") == 6
+    assert L.proj_match("Short heading:") == 9
+    assert L.proj_match("• bullet item") == 12
+    assert L.proj_match("plain body text here") is None
+
+
+def test_scrap_filter_drops_narrow_margin_runs():
+    # wide body paragraphs survive; narrow untagged margin notes vanish
+    body = [
+        box("Wide body paragraph one.", x0=72, x1=532, top=100, bottom=110),
+        box("Wide body paragraph two.", x0=72, x1=532, top=130, bottom=140),
+    ]
+    scraps = [
+        box("rev 3", x0=545, x1=585, top=117, bottom=127),
+        box("rev 4", x0=545, x1=585, top=145, bottom=155),
+    ]
+    out = L.filter_scraps(body + scraps)
+    assert [b["text"] for b in out] == [
+        "Wide body paragraph one.", "Wide body paragraph two."
+    ]
+
+
+def test_scrap_filter_keeps_narrow_projection_title():
+    # a narrow box that is layout-tagged "title" with a numbering projection
+    # is kept even though its mean width is far below 0.35*page
+    t = box("1. Intro", kind="title", x0=72, x1=160, top=100, bottom=110)
+    out = L.filter_scraps([t])
+    assert [b["text"] for b in out] == ["1. Intro"]
+
+
+def test_scrap_filter_keeps_tall_boxes():
+    # a merged paragraph (height >> mean) is useful even when narrow
+    tall = box("merged para", x0=72, x1=180, top=100, bottom=180)
+    wide = box("wide", x0=72, x1=532, top=200, bottom=210)
+    out = L.filter_scraps([tall, wide])
+    assert [b["text"] for b in out] == ["merged para", "wide"]
