@@ -17,7 +17,7 @@ from ragflow_spark.schemas import PAGE_H, PAGE_W, Geom, pack_geom
 
 # bump when generated content changes for the same (seed, doc_index) —
 # cached corpus directories are keyed on this (entry's _corpus_path)
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 PROFILES = [
     ("html_boiler", 25),
@@ -209,6 +209,14 @@ def _gen_pdf_tablefig(doc_id: str, r: random.Random) -> list[dict]:
                 g = Geom(pn, 90 + ci * cell_w, 90 + ci * cell_w + cell_w - 10,
                          72.0 + (row0_line + ri) * 14.0, 72.0 + (row0_line + ri) * 14.0 + 10.0, lo)
                 spans.append(_span(kind, txt, pack_geom(g), off)); off += 1
+        # duplicate detection of the table's header row (overlapping layout
+        # region, +2px jitter, fresh lo) — removed by layouts_cleanup NMS
+        if not group_header and r.random() < 0.3:
+            dup_lo = lo_counter; lo_counter += 1
+            for ci in range(n_cols):
+                g = Geom(pn, 92 + ci * cell_w, 92 + ci * cell_w + cell_w - 10,
+                         74.0 + row0_line * 14.0, 74.0 + row0_line * 14.0 + 10.0, dup_lo)
+                spans.append(_span("table header", headers[ci], pack_geom(g), off)); off += 1
         # credit line to drop (pdf_parser.py:687)
         credit_line = row0_line + n_rows + 1
         g = Geom(pn, 90, 200, 72.0 + credit_line * 14.0, 72.0 + credit_line * 14.0 + 10, lo)

@@ -33,6 +33,7 @@ from ragflow_spark.kernels.layout import (
     filter_scraps,
     filter_toc,
     horizontal_merge,
+    layouts_cleanup,
     median_height,
     reading_order,
     sort_y,
@@ -74,6 +75,7 @@ def layout_doc(boxes: list[dict], html_tables: bool = False) -> list[dict]:
         return []
     boxes = drop_junk(boxes)
     boxes = drop_garbage(boxes)
+    boxes = layouts_cleanup(boxes)
     if not boxes:
         return []
     boxes = sort_y(boxes, median_height(boxes) / 3)

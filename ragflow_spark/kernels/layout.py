@@ -370,6 +370,112 @@ def bullet_merge(boxes: list[dict]) -> list[dict]:
     return bxs
 
 
+def overlapped_area(a: dict, b: dict, ratio: bool = True) -> float:
+    """Overlap area of box b with box a, as a fraction of a's area when
+    ``ratio`` (deepdoc/vision/recognizer.py:113-132)."""
+    x0 = max(a["x0"], b["x0"])
+    x1 = min(a["x1"], b["x1"])
+    tp = max(a["top"], b["top"])
+    btm = min(a["bottom"], b["bottom"])
+    if x1 <= x0 or btm <= tp:
+        return 0.0
+    ov = (btm - tp) * (x1 - x0)
+    if ratio:
+        area = (a["x1"] - a["x0"]) * (a["bottom"] - a["top"])
+        return ov / area if area else 0.0
+    return ov
+
+
+def layouts_cleanup(boxes: list[dict], far: int = 2, thr: float = 0.7) -> list[dict]:
+    """NMS-style dedup of overlapping same-kind layout regions
+    (recognizer.py:134-176 layouts_cleanup). Real detector output overlaps
+    constantly: the same table detected twice produces two region ids
+    covering the same cells. Regions here are implicit — (page, lo) groups —
+    so the port (a) reconstructs each region's envelope, (b) walks the
+    Y-sorted region list comparing each region with its next ``far``
+    neighbors, (c) when two same-kind regions overlap >=``thr`` (either
+    direction) keeps the one covering more text area and reassigns the
+    loser's boxes to it, then (d) drops boxes that duplicate a same-text
+    box they overlap >=``thr`` within the merged region."""
+    regions: dict[tuple, list[dict]] = {}
+    for b in boxes:
+        if b["lo"] >= 0:
+            regions.setdefault((b["pn"], b["lo"]), []).append(b)
+    if len(regions) < 2:
+        return boxes
+
+    def env(bxs: list[dict]) -> dict:
+        kinds = {("table" if x["kind"] == "table header" else x["kind"]) for x in bxs}
+        return {
+            "x0": min(x["x0"] for x in bxs),
+            "x1": max(x["x1"] for x in bxs),
+            "top": min(x["top"] for x in bxs),
+            "bottom": max(x["bottom"] for x in bxs),
+            "kind": sorted(kinds)[0],
+            "area": sum(
+                (x["x1"] - x["x0"]) * (x["bottom"] - x["top"]) for x in bxs
+            ),
+        }
+
+    regs = [
+        {"key": k, "pn": k[0], **env(v)} for k, v in regions.items()
+    ]
+    regs.sort(key=lambda r: (r["pn"], r["top"], r["x0"]))
+    remap: dict[tuple, tuple] = {}
+    i = 0
+    while i + 1 < len(regs):
+        hit = None
+        for j in range(i + 1, min(i + 1 + far, len(regs))):
+            rj = regs[j]
+            ri = regs[i]
+            if rj["pn"] != ri["pn"] or rj["kind"] != ri["kind"]:
+                continue
+            if (
+                overlapped_area(ri, rj) >= thr
+                or overlapped_area(rj, ri) >= thr
+            ):
+                hit = j
+                break
+        if hit is None:
+            i += 1
+            continue
+        win, lose = (i, hit) if regs[i]["area"] > regs[hit]["area"] else (hit, i)
+        remap[regs[lose]["key"]] = regs[win]["key"]
+        regs.pop(lose)
+    if not remap:
+        return boxes
+
+    # resolve chains (A->B->C) and retag
+    def resolve(k: tuple) -> tuple:
+        while k in remap:
+            k = remap[k]
+        return k
+
+    out: list[dict] = []
+    merged_members: dict[tuple, list[dict]] = {}
+    for b in boxes:
+        if b["lo"] < 0:
+            out.append(b)
+            continue
+        tgt = resolve((b["pn"], b["lo"]))
+        nb = dict(b)
+        nb["lo"] = tgt[1]
+        # duplicate-detection dedup: drop a box whose text matches an
+        # already-kept box it overlaps heavily within the same region
+        dup = any(
+            (x["text"] or "") == (nb["text"] or "")
+            and (
+                overlapped_area(x, nb) >= thr or overlapped_area(nb, x) >= thr
+            )
+            for x in merged_members.get(tgt, [])
+        )
+        if dup:
+            continue
+        merged_members.setdefault(tgt, []).append(nb)
+        out.append(nb)
+    return out
+
+
 # numbering/outline patterns that mark a line as a "projection" (heading /
 # enumerated item) — pdf_parser.py:881-903 proj_match; the semantics are the
 # patterns themselves

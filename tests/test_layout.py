@@ -273,3 +273,40 @@ def test_scrap_filter_keeps_tall_boxes():
     wide = box("wide", x0=72, x1=532, top=200, bottom=210)
     out = L.filter_scraps([tall, wide])
     assert [b["text"] for b in out] == ["merged para", "wide"]
+
+
+def test_overlapped_area():
+    a = box("a", x0=0, x1=100, top=0, bottom=100)
+    b = box("b", x0=50, x1=150, top=0, bottom=100)
+    assert L.overlapped_area(a, b) == 0.5
+    assert L.overlapped_area(a, b, ratio=False) == 5000
+    c = box("c", x0=200, x1=300, top=0, bottom=100)
+    assert L.overlapped_area(a, c) == 0.0
+
+
+def test_layouts_cleanup_dedups_double_detection():
+    # the same 2-cell table detected twice: lo=0 (full) and lo=1 (jittered
+    # copy of the header). NMS keeps lo=0 and drops the duplicate cells.
+    real = [
+        box("name", kind="table header", x0=90, x1=180, top=100, bottom=110, lo=0),
+        box("qty", kind="table header", x0=190, x1=280, top=100, bottom=110, lo=0),
+        box("3", kind="table", x0=90, x1=180, top=114, bottom=124, lo=0),
+        box("7", kind="table", x0=190, x1=280, top=114, bottom=124, lo=0),
+    ]
+    dup = [
+        box("name", kind="table header", x0=92, x1=182, top=102, bottom=112, lo=1),
+        box("qty", kind="table header", x0=192, x1=282, top=102, bottom=112, lo=1),
+    ]
+    out = L.layouts_cleanup(real + dup)
+    assert len(out) == 4
+    assert {b["lo"] for b in out} == {0}
+    texts = sorted(b["text"] for b in out)
+    assert texts == ["3", "7", "name", "qty"]
+
+
+def test_layouts_cleanup_keeps_distinct_regions():
+    # two non-overlapping tables on one page stay separate
+    t1 = [box("a", kind="table", x0=90, x1=180, top=100, bottom=110, lo=0)]
+    t2 = [box("b", kind="table", x0=90, x1=180, top=300, bottom=310, lo=1)]
+    out = L.layouts_cleanup(t1 + t2)
+    assert {b["lo"] for b in out} == {0, 1}
