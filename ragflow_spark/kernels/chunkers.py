@@ -217,6 +217,68 @@ def naive_merge(
     return [c for c in cks if c.strip()]
 
 
+def naive_merge_with_media(
+    sections: list[tuple[str, str]],
+    chunk_token_num: int = 128,
+    delimiter: str = "\n。；！？",
+    overlapped_percent: int = 0,
+) -> tuple[list[str], list[list[str]]]:
+    """naive_merge that carries media along (rag/nlp/__init__.py:566-656
+    naive_merge_with_images + concat_img): each section is (text, media_ref);
+    a chunk collects the refs of every section merged into it. The
+    concat_img analog for reference-valued media is ref-list concatenation
+    with identical-neighbor dedup (concat_img returns one image when both
+    sides are pixel-identical). A ref with empty text still attaches to the
+    chunk being accumulated."""
+    if not sections:
+        return [], []
+    cks = [""]
+    refs: list[list[str]] = [[]]
+    tk_nums = [0]
+    keep = (100 - overlapped_percent) / 100.0
+
+    def attach(ref: str) -> None:
+        if ref and (not refs[-1] or refs[-1][-1] != ref):
+            refs[-1].append(ref)
+
+    def add(t: str, ref: str) -> None:
+        tnum = num_tokens(t)
+        if cks[-1] == "" or tk_nums[-1] > chunk_token_num * keep:
+            if overlapped_percent and cks[-1]:
+                prev = cks[-1]
+                t = prev[int(len(prev) * keep):] + t
+            cks.append(t)
+            refs.append([])
+            tk_nums.append(tnum)
+        else:
+            cks[-1] += t
+            tk_nums[-1] += tnum
+        attach(ref)
+
+    dels = get_delimiters(delimiter)
+    dels_re = re.compile(f"^(?:{dels})$") if dels else None
+    for sec, ref in sections:
+        if not sec.strip():
+            attach(ref)  # caption-less figure: ride with the current chunk
+            continue
+        if num_tokens(sec) < chunk_token_num:
+            add(sec, ref)
+            continue
+        first = True
+        for sub in re.split(f"({dels})", sec, flags=re.DOTALL) if dels else [sec]:
+            if not sub or (dels_re and dels_re.match(sub)):
+                continue
+            add(sub, ref if first else "")
+            first = False
+
+    out_c, out_r = [], []
+    for c, r in zip(cks, refs):
+        if c.strip() or r:
+            out_c.append(c)
+            out_r.append(r)
+    return out_c, out_r
+
+
 def hierarchical_merge(
     bull: int, sections: list[tuple[str, str]], depth: int
 ) -> list[list[str]]:

@@ -179,22 +179,43 @@ def chunk_doc(
     chunk_token_num: int = 512,
     delimiter: str = "\n!?。；！？",
     overlapped_percent: int = 0,
+    attach_media: bool = True,
 ) -> list[dict]:
-    """Chunk one document's extracted spans. Tables/figures become standalone
-    chunks (the reference routes them through tokenize_table /
-    separate image docs — rag/nlp/__init__.py:302-329); text/title spans feed
-    the selected template chunker."""
+    """Chunk one document's extracted spans. Tables become standalone chunks
+    (the reference routes them through tokenize_table,
+    rag/nlp/__init__.py:302-329). Figures: with ``attach_media`` (default,
+    the reference's naive_merge_with_images/concat_img semantics,
+    __init__.py:566-656) a figure's caption text joins the text stream and
+    its media_ref rides on whichever chunk the caption lands in; with
+    ``attach_media=False`` figures stay standalone chunks (legacy fixture
+    behavior). Every chunk row carries a ``media_refs`` list."""
     out_spans = sorted(out_spans, key=lambda s: s["seq"])
+    attach = attach_media and chunker == "naive"
+    media_kinds = ("table",) if attach else ("table", "figure")
     media_chunks = [
-        s["text"] for s in out_spans if s["kind"] in ("table", "figure") and (s["text"] or "").strip()
+        (s["text"], [s["media_ref"]] if s.get("media_ref") else [])
+        for s in out_spans
+        if s["kind"] in media_kinds and ((s["text"] or "").strip() or s.get("media_ref"))
     ]
     sections = [
         (s["text"], s["kind"]) for s in out_spans if s["kind"] in ("text", "title") and (s["text"] or "").strip()
     ]
+    media_refs: list[list[str]] | None = None
     if chunker == "naive":
-        texts = chunkers.naive_merge(
-            [t for t, _ in sections], chunk_token_num, delimiter, overlapped_percent
-        )
+        if attach:
+            stream = [
+                (s["text"] or "", s.get("media_ref") or "")
+                for s in out_spans
+                if s["kind"] in ("text", "title", "figure")
+                and ((s["text"] or "").strip() or s.get("media_ref"))
+            ]
+            texts, media_refs = chunkers.naive_merge_with_media(
+                stream, chunk_token_num, delimiter, overlapped_percent
+            )
+        else:
+            texts = chunkers.naive_merge(
+                [t for t, _ in sections], chunk_token_num, delimiter, overlapped_percent
+            )
     elif chunker == "book":
         eng = doc_is_english([t for t, _ in sections])
         texts = chunkers.book_chunk(sections, eng, chunk_token_num=256, delimiter=delimiter)
@@ -212,13 +233,20 @@ def chunk_doc(
     else:
         raise ValueError(f"unknown chunker {chunker!r}")
 
-    chunks = media_chunks + [t for t in texts if t.strip()]
+    if media_refs is None:
+        text_chunks = [(t, []) for t in texts if t.strip()]
+    else:
+        text_chunks = [
+            (t, r) for t, r in zip(texts, media_refs) if t.strip() or r
+        ]
+    chunks = media_chunks + text_chunks
     return [
         {
             "chunker": chunker,
             "chunk_seq": i,
             "text": t,
             "token_count": num_tokens(t),
+            "media_refs": refs,
         }
-        for i, t in enumerate(chunks)
+        for i, (t, refs) in enumerate(chunks)
     ]

@@ -232,6 +232,7 @@ def extract_chunks_fused(
                     "chunk_seq": [c["chunk_seq"] for c in rows],
                     "text": [c["text"] for c in rows],
                     "token_count": [c["token_count"] for c in rows],
+                    "media_refs": [c["media_refs"] for c in rows],
                 }
             )
 
@@ -285,6 +286,7 @@ def chunk_stage(
                 "chunk_seq": [c["chunk_seq"] for c in chunks],
                 "text": [c["text"] for c in chunks],
                 "token_count": [c["token_count"] for c in chunks],
+                "media_refs": [c["media_refs"] for c in chunks],
             }
         )
 

@@ -76,6 +76,9 @@ CHUNKS_SCHEMA = T.StructType(
         T.StructField("chunk_seq", T.IntegerType(), False),
         T.StructField("text", T.StringType(), True),
         T.StructField("token_count", T.IntegerType(), False),
+        # media carried by the chunk (concat_img analog: refs of figures
+        # whose captions merged into this chunk)
+        T.StructField("media_refs", T.ArrayType(T.StringType()), True),
     ]
 )
 

@@ -198,6 +198,7 @@ def extract_chunks_native(
                         "chunk_seq": [c["chunk_seq"] for c in rows],
                         "text": [c["text"] for c in rows],
                         "token_count": [c["token_count"] for c in rows],
+                        "media_refs": [c["media_refs"] for c in rows],
                     }
                 )
 
@@ -314,6 +315,10 @@ def extract_chunks_native_to_parquet(
                         "text": pa.array([c["text"] for c in rows], pa.string()),
                         "token_count": pa.array(
                             [c["token_count"] for c in rows], pa.int32()
+                        ),
+                        "media_refs": pa.array(
+                            [c["media_refs"] for c in rows],
+                            pa.list_(pa.string()),
                         ),
                     }
                 )

@@ -68,3 +68,44 @@ def test_chunk_doc_qa_and_laws():
         chunker="laws",
     )
     assert len(out2) >= 1
+
+
+def test_naive_merge_with_media_attaches_refs():
+    from ragflow_spark.kernels.chunkers import naive_merge_with_media
+
+    sections = [
+        ("First paragraph about things. ", ""),
+        ("Figure 1: a chart", "blob://d/0"),
+        ("More prose after the figure. ", ""),
+        ("", "blob://d/1"),  # caption-less figure rides along
+    ]
+    cks, refs = naive_merge_with_media(sections, chunk_token_num=512)
+    assert len(cks) == 1
+    assert "Figure 1: a chart" in cks[0]
+    assert refs[0] == ["blob://d/0", "blob://d/1"]
+    # small budget: refs follow their sections into separate chunks
+    cks2, refs2 = naive_merge_with_media(sections, chunk_token_num=4)
+    assert len(cks2) >= 2
+    flat = [r for rr in refs2 for r in rr]
+    assert flat == ["blob://d/0", "blob://d/1"]
+
+
+def test_chunk_doc_media_attachment():
+    from ragflow_spark.kernels.extract import chunk_doc
+
+    spans = [
+        {"seq": 0, "kind": "text", "text": "Intro text. ", "media_ref": ""},
+        {"seq": 1, "kind": "figure", "text": "Figure 1: pic", "media_ref": "blob://d/0"},
+        {"seq": 2, "kind": "table", "text": "name：1", "media_ref": ""},
+        {"seq": 3, "kind": "text", "text": "Closing text.", "media_ref": ""},
+    ]
+    out = chunk_doc(spans, chunker="naive", chunk_token_num=512)
+    # table standalone; figure caption merged into the text chunk w/ its ref
+    tbl = [c for c in out if c["text"] == "name：1"]
+    assert len(tbl) == 1 and tbl[0]["media_refs"] == []
+    txt = [c for c in out if "Figure 1: pic" in c["text"] and c is not tbl[0]]
+    assert len(txt) == 1 and txt[0]["media_refs"] == ["blob://d/0"]
+    # legacy behavior: figure is standalone and carries its ref
+    legacy = chunk_doc(spans, chunker="naive", chunk_token_num=512, attach_media=False)
+    fig = [c for c in legacy if c["text"] == "Figure 1: pic"]
+    assert len(fig) == 1 and fig[0]["media_refs"] == ["blob://d/0"]
