@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_aggs": relational.tag_aggs,
         # retrieval surface (SURVEY.md §2.6)
         "term_idf": retrieval.term_idf,
+        "term_weights": retrieval.term_weights,
+        "query_build": retrieval.query_build,
         "hybrid_search": retrieval.hybrid_search,
         "rerank_fusion": retrieval.rerank_fusion,
         "tag_features": retrieval.tag_features,
@@ -265,6 +267,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_qa": _CHUNK_QA_SQL,
         "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
         "term_idf": retrieval.TERM_IDF_SQL,
+        "term_weights": retrieval.TERM_WEIGHTS_SQL,
+        "query_build": retrieval.QUERY_BUILD_SQL,
         "hybrid_search": retrieval.HYBRID_SEARCH_SQL,
         "rerank_fusion": retrieval.RERANK_FUSION_SQL,
         "tag_features": retrieval.TAG_FEATURES_SQL,

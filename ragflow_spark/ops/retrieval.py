@@ -63,6 +63,313 @@ GROUP BY token HAVING count(*) >= 2
 """
 
 
+# ---------------------------------------------------- full term weighting
+# (rag/nlp/term_weight.py:162-244). The reference's freq dict / NER dict /
+# POS tagger are external dictionaries (huqie scope-ruled out, SURVEY §2.3);
+# here freq/df come from the corpus itself and ner keeps the regex-decidable
+# branches (numeric → 2, 1-2-letter latin → 0.01); postag ≡ 1. The dual-idf
+# mix, fallback constants, and normalization are the reference's.
+
+_RE_NUMERIC_FREQ = "^[0-9. -]{2,}$"
+_RE_NUMERIC_NER = "^[0-9,.]{2,}$"
+_RE_SHORT_LATIN = "^[a-z]{1,2}$"
+_RE_ENG = "^[a-z. -]+$"
+_FREQ_N = 10_000_000
+_DF_N = 1_000_000_000
+
+
+def _idf_expr(s, n: int):
+    return F.log10(F.lit(10.0) + (F.lit(float(n)) - s + 0.5) / (s + 0.5))
+
+
+def _raw_weight(tokcol, freqcol, dfcol):
+    """(0.3·idf(freq) + 0.7·idf(df)) · ner — term_weight.py:225-244."""
+    freq = (
+        F.when(tokcol.rlike(_RE_NUMERIC_FREQ), F.lit(3.0))
+        .when(freqcol.isNotNull(), F.greatest(freqcol.cast("double"), F.lit(10.0)))
+        .when(tokcol.rlike(_RE_ENG), F.lit(300.0))
+        .otherwise(F.lit(10.0))
+    )
+    df_ = (
+        F.when(tokcol.rlike(_RE_NUMERIC_FREQ), F.lit(5.0))
+        .when(dfcol.isNotNull(), dfcol.cast("double") + 3.0)
+        .when(tokcol.rlike(_RE_ENG), F.lit(300.0))
+        .otherwise(F.lit(3.0))
+    )
+    ner = (
+        F.when(tokcol.rlike(_RE_NUMERIC_NER), F.lit(2.0))
+        .when(tokcol.rlike(_RE_SHORT_LATIN), F.lit(0.01))
+        .otherwise(F.lit(1.0))
+    )
+    return (0.3 * _idf_expr(freq, _FREQ_N) + 0.7 * _idf_expr(df_, _DF_N)) * ner
+
+
+_DUCK_RAW_WEIGHT = f"""
+(0.3 * log10(10 + (({_FREQ_N} -
+     (CASE WHEN regexp_matches(token, '{_RE_NUMERIC_FREQ}') THEN 3.0
+           WHEN freq IS NOT NULL THEN greatest(CAST(freq AS DOUBLE), 10.0)
+           WHEN regexp_matches(token, '{_RE_ENG}') THEN 300.0
+           ELSE 10.0 END)) + 0.5) /
+     ((CASE WHEN regexp_matches(token, '{_RE_NUMERIC_FREQ}') THEN 3.0
+           WHEN freq IS NOT NULL THEN greatest(CAST(freq AS DOUBLE), 10.0)
+           WHEN regexp_matches(token, '{_RE_ENG}') THEN 300.0
+           ELSE 10.0 END) + 0.5))
+ + 0.7 * log10(10 + (({_DF_N} -
+     (CASE WHEN regexp_matches(token, '{_RE_NUMERIC_FREQ}') THEN 5.0
+           WHEN df IS NOT NULL THEN CAST(df AS DOUBLE) + 3.0
+           WHEN regexp_matches(token, '{_RE_ENG}') THEN 300.0
+           ELSE 3.0 END)) + 0.5) /
+     ((CASE WHEN regexp_matches(token, '{_RE_NUMERIC_FREQ}') THEN 5.0
+           WHEN df IS NOT NULL THEN CAST(df AS DOUBLE) + 3.0
+           WHEN regexp_matches(token, '{_RE_ENG}') THEN 300.0
+           ELSE 3.0 END) + 0.5)))
+* (CASE WHEN regexp_matches(token, '{_RE_NUMERIC_NER}') THEN 2.0
+        WHEN regexp_matches(token, '{_RE_SHORT_LATIN}') THEN 0.01
+        ELSE 1.0 END)
+"""
+
+
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(freq, df) per token over the whole corpus — the engine's analog of
+    the reference's frequency dictionary."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    dft = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return freq, dft
+
+
+_DUCK_CORPUS_STATS = """
+ctoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+freq_t AS (SELECT token, count(*) AS freq FROM ctoks WHERE token <> '' GROUP BY token),
+df_t AS (SELECT token, count(DISTINCT doc_id) AS df FROM ctoks WHERE token <> '' GROUP BY token)
+"""
+
+TW_QUERY_MOD = 20  # term-weight query docs: doc_id % 20 == 0
+
+
+def term_weights(
+    spark: SparkSession, sf_dir: str, query_mod: int = TW_QUERY_MOD
+) -> DataFrame:
+    """Per query-doc normalized term weights (term_weight.py weights()):
+    weight = (0.3·idf(freq) + 0.7·idf(df)) · ner, normalized to sum 1 within
+    the document. Normalization goes through integer micro-units
+    (round(w·1e6)) so the sum is order-independent and bit-identical across
+    engines."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % query_mod == 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    freq, dft = _corpus_stats(spark, sf_dir)
+    j = toks.join(freq, "token", "left").join(dft, "token", "left")
+    wq = F.round(
+        _raw_weight(F.col("token"), F.col("freq"), F.col("df")) * 1e6
+    ).cast("bigint")
+    withw = j.select("doc_id", "token", wq.alias("wq"))
+    tot = withw.groupBy("doc_id").agg(F.sum("wq").alias("s"))
+    return (
+        withw.join(tot, "doc_id")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "token",
+            F.round(F.col("wq") / F.col("s"), 6).alias("weight_r6"),
+        )
+    )
+
+
+TERM_WEIGHTS_SQL = f"""
+WITH {_DUCK_CORPUS_STATS.strip()},
+qtoks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE doc_id % {TW_QUERY_MOD} = 0),
+w AS (
+  SELECT q.doc_id, q.token,
+         CAST(round(({_DUCK_RAW_WEIGHT}) * 1e6) AS BIGINT) AS wq
+  FROM qtoks q
+  LEFT JOIN freq_t USING (token)
+  LEFT JOIN df_t USING (token)
+  WHERE q.token <> ''),
+tot AS (SELECT doc_id, sum(wq) AS s FROM w GROUP BY doc_id)
+SELECT w.doc_id AS query_id, w.token,
+       round(w.wq / tot.s, 6) AS weight_r6
+FROM w JOIN tot USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------- query build
+# (rag/nlp/query.py:85-217). Dictionary-free core: punctuation strip + the
+# rmWWW stopword patterns (applied twice, as the english path does), term
+# boosts from the normalized weight mix, adjacent-bigram phrase boosts
+# (max(w1,w2)·2), and the constant field-boost list. Synonym (^0.2) and
+# fine-grained (~2^0.5) expansions need the reference's dictionaries and
+# emit nothing here (documented deviation).
+
+QUERY_FIELDS = [
+    ("title_tks", 10.0),
+    ("title_sm_tks", 5.0),
+    ("important_kwd", 30.0),
+    ("important_tks", 20.0),
+    ("question_tks", 20.0),
+    ("content_ltks", 2.0),
+    ("content_sm_ltks", 1.0),
+]
+
+_PUNCT = r"[ :|\r\n\t,，。？?/`!！&^%()\[\]{}<>]+"
+_WWW1 = r"(^| )(what|who|how|which|where|why)('re|'s)? "
+_WWW2 = (
+    r"(^| )('s|'re|is|are|were|was|do|does|did|don't|doesn't|didn't|has|have"
+    r"|be|there|you|me|your|my|mine|just|please|may|i|should|would|wouldn't"
+    r"|will|won't|done|go|for|with|so|the|a|an|by|i'm|it's|he's|she's|they"
+    r"|they're|you're|as|by|on|in|at|up|out|down|of|to|or|and|if) "
+)
+
+
+def _clean_query(col):
+    c = F.regexp_replace(F.lower(col), _PUNCT, " ")
+    for _ in range(2):  # english path applies rmWWW twice (query.py:163-166)
+        c = F.regexp_replace(c, _WWW1, " ")
+        c = F.regexp_replace(c, _WWW2, " ")
+    return F.trim(c)
+
+
+_DUCK_CLEAN = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(lower(text), '{p}', ' ', 'g'),"
+    " '{w1}', ' ', 'g'), '{w2}', ' ', 'g'),"
+    " '{w1}', ' ', 'g'), '{w2}', ' ', 'g'))"
+).format(
+    # DuckDB '…' literals pass backslashes through raw — only quotes double
+    p=_PUNCT.replace("'", "''"),
+    w1=_WWW1.replace("'", "''"),
+    w2=_WWW2.replace("'", "''"),
+)
+
+
+def query_build(
+    spark: SparkSession, sf_dir: str, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """Compiled boolean query rows per query doc: 'field' rows carry the
+    constant field boosts, 'term' rows the normalized weight boosts
+    ("tk^w"), 'phrase' rows the adjacent-bigram boosts ("\"a b\"^w",
+    query.py:130-141)."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % query_mod == 0
+    )
+    cleaned = docs.select(
+        F.col("doc_id").alias("query_id"), _clean_query(F.col("text")).alias("q")
+    )
+    toks = cleaned.select(
+        "query_id",
+        F.posexplode(F.split(F.col("q"), r"\s+")).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    freq, dft = _corpus_stats(spark, sf_dir)
+    j = toks.join(freq, "token", "left").join(dft, "token", "left")
+    wq = F.round(
+        _raw_weight(F.col("token"), F.col("freq"), F.col("df")) * 1e6
+    ).cast("bigint")
+    withw = j.select("query_id", "pos", "token", wq.alias("wq"))
+    tot = withw.groupBy("query_id").agg(F.sum("wq").alias("s"))
+    norm = withw.join(tot, "query_id").select(
+        "query_id", "pos", "token", (F.col("wq") / F.col("s")).alias("w")
+    )
+    terms = norm.select(
+        "query_id",
+        "pos",
+        F.col("token").alias("term"),
+        F.lit("term").alias("term_type"),
+        F.round(F.col("w"), 4).alias("boost_r4"),
+    )
+    win = Window.partitionBy("query_id").orderBy("pos")
+    phrases = (
+        norm.select(
+            "query_id",
+            "pos",
+            "token",
+            "w",
+            F.lead("token").over(win).alias("nxt"),
+            F.lead("w").over(win).alias("nw"),
+            F.lead("pos").over(win).alias("npos"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "query_id",
+            F.col("npos").alias("pos"),
+            F.concat_ws(" ", "token", "nxt").alias("term"),
+            F.lit("phrase").alias("term_type"),
+            F.round(F.greatest("w", "nw") * 2, 4).alias("boost_r4"),
+        )
+    )
+    fields = cleaned.select("query_id").crossJoin(
+        spark.createDataFrame(
+            [(i, f, b) for i, (f, b) in enumerate(QUERY_FIELDS)],
+            "pos int, term string, boost_r4 double",
+        ).select("pos", "term", F.lit("field").alias("term_type"), "boost_r4")
+    ).select("query_id", "pos", "term", "term_type", "boost_r4")
+    return terms.unionByName(phrases).unionByName(fields)
+
+
+_FIELDS_VALUES = ", ".join(
+    f"({i}, '{f}', {b})" for i, (f, b) in enumerate(QUERY_FIELDS)
+)
+
+QUERY_BUILD_SQL = f"""
+WITH {_DUCK_CORPUS_STATS.strip()},
+q AS (
+  SELECT doc_id AS query_id, {_DUCK_CLEAN} AS q
+  FROM documents WHERE doc_id % {QUERY_MOD} = 0),
+qtoks0 AS (
+  SELECT query_id,
+         unnest(regexp_split_to_array(q, '\\s+')) AS token,
+         unnest(generate_series(1, len(regexp_split_to_array(q, '\\s+')))) AS pos
+  FROM q),
+qtoks AS (
+  SELECT query_id, CAST(pos - 1 AS INTEGER) AS pos, token
+  FROM qtoks0 WHERE token <> ''),
+w0 AS (
+  SELECT query_id, pos, token,
+         CAST(round(({_DUCK_RAW_WEIGHT}) * 1e6) AS BIGINT) AS wq
+  FROM qtoks
+  LEFT JOIN freq_t USING (token)
+  LEFT JOIN df_t USING (token)),
+tot AS (SELECT query_id, sum(wq) AS s FROM w0 GROUP BY query_id),
+norm AS (
+  SELECT w0.query_id, w0.pos, w0.token, w0.wq / tot.s AS w
+  FROM w0 JOIN tot USING (query_id)),
+terms AS (
+  SELECT query_id, pos, token AS term, 'term' AS term_type,
+         round(w, 4) AS boost_r4
+  FROM norm),
+pairs AS (
+  SELECT query_id, pos, token, w,
+         lead(token) OVER (PARTITION BY query_id ORDER BY pos) AS nxt,
+         lead(w) OVER (PARTITION BY query_id ORDER BY pos) AS nw,
+         lead(pos) OVER (PARTITION BY query_id ORDER BY pos) AS npos
+  FROM norm),
+phrases AS (
+  SELECT query_id, CAST(npos AS INTEGER) AS pos, token || ' ' || nxt AS term,
+         'phrase' AS term_type, round(greatest(w, nw) * 2, 4) AS boost_r4
+  FROM pairs WHERE nxt IS NOT NULL),
+fields AS (
+  SELECT q.query_id, f.pos, f.term, 'field' AS term_type, f.boost_r4
+  FROM q, (SELECT * FROM (VALUES {_FIELDS_VALUES}) v(pos, term, boost_r4)) f)
+SELECT query_id, CAST(pos AS INTEGER) AS pos, term, term_type,
+       CAST(boost_r4 AS DOUBLE) AS boost_r4
+FROM (SELECT * FROM terms UNION ALL SELECT * FROM phrases
+      UNION ALL SELECT * FROM fields)
+"""
+
+
 def _tokvec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, toks, v): distinct lowercase tokens + L2-normalized vector
     per document (documents ⋈ embeddings on id)."""

@@ -46,3 +46,36 @@ def test_chunk_ids_stable_and_unique_per_doc(spark):
     }
     assert a == b  # content-addressed: identical across runs
     assert all(isinstance(v, int) for v in a.values())
+
+
+def test_query_build_strips_stopwords_and_boosts(spark):
+    from ragflow_spark.ops import retrieval
+
+    sf = "/root/testdata/sf0.001"
+    out = retrieval.query_build(spark, sf).toPandas()
+    assert set(out["term_type"]) == {"term", "phrase", "field"}
+    terms = out[out.term_type == "term"]
+    # rmWWW: english function words never survive as terms
+    assert not (terms["term"].isin(["the", "is", "of", "what", "and"])).any()
+    # normalized term boosts sum to ~1 per query
+    sums = terms.groupby("query_id")["boost_r4"].sum()
+    assert ((sums - 1.0).abs() < 0.01).all()
+    fields = out[out.term_type == "field"]
+    assert set(fields["term"]) == {f for f, _ in retrieval.QUERY_FIELDS}
+    # phrase boost = 2x the max of its member terms (spot check shape)
+    phrases = out[out.term_type == "phrase"]
+    assert (phrases["boost_r4"] > 0).all()
+    assert phrases["term"].str.contains(" ").all()
+
+
+def test_term_weights_mix(spark):
+    from ragflow_spark.ops import retrieval
+
+    sf = "/root/testdata/sf0.001"
+    out = retrieval.term_weights(spark, sf).toPandas()
+    assert len(out) > 0
+    sums = out.groupby("query_id")["weight_r6"].sum()
+    assert ((sums - 1.0).abs() < 0.001).all()
+    # rare tokens outweigh common ones within a query (idf-dominant mix)
+    g = out.groupby("query_id")["weight_r6"]
+    assert (g.max() > g.min()).any()
