@@ -134,33 +134,52 @@ def _q_chunk_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_chunk_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QA chunker over question/answer lines derived deterministically from
-    the documents table. For the 2-line-per-doc construction the qa kernel
-    (kernels/chunkers.py qa_pairs, pytest-covered) reduces to a pure
-    expression — so this query stays entirely in whole-stage codegen: no
-    pandas groups, one projection over the scan."""
-    from ragflow_spark.functions.tokens import SPARK_SQL_EXPR
+    """QA tabular-route kernel (kernels/chunkers.py qa_pairs_tabular,
+    rag/app/qa.py txt path) over deterministic tab-delimited Q&A lines
+    built from the documents table: two 2-field lines plus one delimiter-
+    less continuation line that must append to the first answer. The
+    kernel runs inside mapInPandas (Arrow-batched); the oracle reproduces
+    the pair algebra analytically in SQL."""
+    import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.split(F.trim("text"), r"\s+")
-    built = docs.select(
-        F.concat(F.lit("qa-"), F.col("doc_id").cast("string")).alias("doc_id"),
-        F.lit("qa").alias("chunker"),
-        F.lit(0).cast("int").alias("chunk_seq"),
-        F.trim(
-            F.concat(
-                F.lit("Q1: "),
-                F.concat_ws(" ", F.slice(words, 1, 4)),
-                F.lit("?\n"),
-                F.concat_ws(
-                    " ",
-                    F.slice(words, 5, F.greatest(F.size(words) - 4, F.lit(0))),
-                ),
-            )
-        ).alias("text"),
+    from ragflow_spark.functions.tokens import num_tokens
+    from ragflow_spark.kernels.chunkers import qa_pairs_tabular
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
     )
-    return built.withColumn(
-        "token_count", F.expr(SPARK_SQL_EXPR.format(c="text")).cast("int")
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, texts, toks = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").replace(",", "").split()
+                j = lambda a, b: " ".join(words[a:b])  # noqa: E731
+                lines = [
+                    f"Q1 {j(0, 3)}?\t{j(3, 6)}",
+                    f"more {j(6, 8)}",
+                    f"Q2 {j(8, 11)}?\t{j(11, 14)}",
+                ]
+                for i, (q, a) in enumerate(qa_pairs_tabular(lines)):
+                    t = (q + "\n" + a).strip()
+                    ids.append(f"qa-{doc_id}")
+                    seqs.append(i)
+                    texts.append(t)
+                    toks.append(num_tokens(t))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunker": ["qa"] * len(ids),
+                    "chunk_seq": seqs,
+                    "text": texts,
+                    "token_count": toks,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, chunker string, chunk_seq int, text string, "
+        "token_count int",
     )
 
 
@@ -168,14 +187,22 @@ from ragflow_spark.functions.tokens import DUCKDB_SQL_EXPR as _TOK
 
 _CHUNK_QA_SQL = f"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(text, ',', '', 'g')), '\\s+') AS words
   FROM documents),
 built AS (
-  SELECT 'qa-' || CAST(doc_id AS VARCHAR) AS doc_id,
-         'qa' AS chunker,
+  SELECT 'qa-' || CAST(doc_id AS VARCHAR) AS doc_id, 'qa' AS chunker,
          CAST(0 AS INTEGER) AS chunk_seq,
-         trim('Q1: ' || array_to_string(words[1:4], ' ') || '?' || chr(10) ||
-              array_to_string(words[5:], ' ')) AS text
+         trim('Q1 ' || coalesce(array_to_string(words[1:3], ' '), '') || '?' || chr(10) ||
+              coalesce(array_to_string(words[4:6], ' '), '') || chr(10) ||
+              'more ' || coalesce(array_to_string(words[7:8], ' '), ''),
+              ' ' || chr(10) || chr(9) || chr(13)) AS text
+  FROM w
+  UNION ALL
+  SELECT 'qa-' || CAST(doc_id AS VARCHAR), 'qa', CAST(1 AS INTEGER),
+         trim('Q2 ' || coalesce(array_to_string(words[9:11], ' '), '') || '?' || chr(10) ||
+              coalesce(array_to_string(words[12:14], ' '), ''),
+              ' ' || chr(10) || chr(9) || chr(13))
   FROM w)
 SELECT doc_id, chunker, chunk_seq, text,
        CAST({_TOK.format(c="text")} AS INTEGER) AS token_count

@@ -507,3 +507,254 @@ def qa_pairs(sections: list[str]) -> list[tuple[str, str]]:
     if q is not None:
         pairs.append((q.strip(), "\n".join(ans).strip()))
     return pairs
+
+
+# ---------------------------------------------------------- qa: index parse
+# (rag/nlp/__init__.py:132-147 index_int — w2n / cn2an / roman libs replaced
+# by self-contained converters for the value ranges the QUESTION_PATTERN
+# families can produce)
+
+_EN_NUMS = {
+    "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
+    "twelve": 12, "thirteen": 13, "fourteen": 14, "fifteen": 15,
+    "sixteen": 16, "seventeen": 17, "eighteen": 18, "nineteen": 19,
+    "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50, "sixty": 60,
+    "seventy": 70, "eighty": 80, "ninety": 90,
+}
+_CN_DIGITS = {"零": 0, "一": 1, "二": 2, "三": 3, "四": 4, "五": 5,
+              "六": 6, "七": 7, "八": 8, "九": 9}
+_ROMAN = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100}
+
+
+def _en2num(s: str) -> int:
+    total = 0
+    for w in re.split(r"[\s-]+", s.lower().strip()):
+        if w not in _EN_NUMS:
+            raise ValueError(s)
+        total += _EN_NUMS[w]
+    return total
+
+
+def _cn2num(s: str) -> int:
+    s = s.strip()
+    if not s or any(c not in _CN_DIGITS and c not in "十百" for c in s):
+        raise ValueError(s)
+    total, cur = 0, 0
+    for c in s:
+        if c == "十":
+            total += (cur or 1) * 10
+            cur = 0
+        elif c == "百":
+            total += (cur or 1) * 100
+            cur = 0
+        else:
+            cur = _CN_DIGITS[c]
+    return total + cur
+
+
+def _roman2num(s: str) -> int:
+    s = s.strip().upper()
+    if not s or any(c not in _ROMAN for c in s):
+        raise ValueError(s)
+    total = 0
+    for i, c in enumerate(s):
+        v = _ROMAN[c]
+        if i + 1 < len(s) and _ROMAN[s[i + 1]] > v:
+            total -= v
+        else:
+            total += v
+    return total
+
+
+def index_int(index_str: str) -> int:
+    """Question-bullet index → int: arabic, english words, chinese numerals,
+    roman numerals; -1 when unparseable (rag/nlp/__init__.py:132-147)."""
+    for conv in (int, _en2num, _cn2num, _roman2num):
+        try:
+            return int(conv(index_str))
+        except (ValueError, TypeError):
+            continue
+    return -1
+
+
+# QUESTION_PATTERN dialects (rag/nlp/__init__.py:74-86) — capture group 1 is
+# the bullet index
+QUESTION_DIALECTS = [
+    re.compile(p)
+    for p in [
+        r"第([零一二三四五六七八九十百0-9]+)问",
+        r"第([零一二三四五六七八九十百0-9]+)条",
+        r"[\(（]([零一二三四五六七八九十百]+)[\)）]",
+        r"第([0-9]+)问",
+        r"第([0-9]+)条",
+        r"([0-9]{1,2})[\. 、]",
+        r"([零一二三四五六七八九十百]+)[ 、]",
+        r"[\(（]([0-9]{1,2})[\)）]",
+        r"QUESTION (ONE|TWO|THREE|FOUR|FIVE|SIX|SEVEN|EIGHT|NINE|TEN)",
+        r"QUESTION (I+V?|VI*|XI|IX|X)",
+        r"QUESTION ([0-9]+)",
+    ]
+]
+
+
+def qbullets_category(sections: list[str]) -> tuple[int, re.Pattern | None]:
+    """Pick the question-bullet dialect with the most matching sections
+    (rag/nlp/__init__.py:150-165)."""
+    best, best_hits = -1, 0
+    for i, pat in enumerate(QUESTION_DIALECTS):
+        hits = sum(1 for s in sections if pat.match((s or "").strip()))
+        if hits > best_hits:
+            best, best_hits = i, hits
+    return best, (QUESTION_DIALECTS[best] if best >= 0 else None)
+
+
+_Q_TAIL = r"(\w|\W)*?(?:？|\?|\n|$)+"
+_ASK_RE = re.compile(r"(what|when|where|how|why|which|who|whose|为什么|为啥|哪)")
+
+
+def has_qbullet(
+    reg: re.Pattern,
+    box: dict,
+    last_box: dict,
+    last_index: int,
+    last_bull,
+    bull_x0_list: list[float],
+):
+    """Geometry-aware question-bullet detection for the PDF route
+    (rag/nlp/__init__.py:89-129): a bullet is rejected when it is indented
+    past the previous bullet (x0 drift > 10), when an unbulleted line just
+    above continues at the same indent, or when its index regresses without
+    a '?', title tag, or interrogative opener."""
+    section = box["text"] or ""
+    last_section = (last_box.get("text") or "")
+    m = re.match(reg.pattern + _Q_TAIL, section)
+    if not m:
+        return None, last_index
+    last_x0 = last_box.get("x0", box["x0"])
+    last_top = last_box.get("top", box["top"])
+    if last_bull and box["x0"] - last_x0 > 10:
+        return None, last_index
+    if not last_bull and box["x0"] >= last_x0 and box["top"] - last_top < 20:
+        return None, last_index
+    avg_x0 = sum(bull_x0_list) / len(bull_x0_list) if bull_x0_list else box["x0"]
+    if box["x0"] - avg_x0 > 10:
+        return None, last_index
+    index = index_int(m.group(1))
+    if last_section.endswith((":", "：")):
+        return None, last_index
+    if not last_index or index >= last_index:
+        bull_x0_list.append(box["x0"])
+        return m, index
+    if section.rstrip().endswith(("?", "？")):
+        bull_x0_list.append(box["x0"])
+        return m, index
+    if box.get("kind") == "title":
+        bull_x0_list.append(box["x0"])
+        return m, index
+    lead = reg.match(section)
+    pure = section[lead.end():].strip().lower() if lead else section.lower()
+    if _ASK_RE.match(pure):
+        bull_x0_list.append(box["x0"])
+        return m, index
+    return None, last_index
+
+
+def qa_pairs_pdf(boxes: list[dict]) -> list[tuple[str, str]]:
+    """PDF qa route (rag/app/qa.py:79-180 reduced to the text/geometry
+    core): dialect-detect the question bullets, then fold boxes into
+    (question, answer) pairs using has_qbullet's geometry checks. Table
+    interleave is not replayed here — tables are standalone chunks in this
+    engine."""
+    sections = [(b["text"] or "") for b in boxes]
+    q_bull, reg = qbullets_category(sections)
+    if q_bull == -1 or reg is None:
+        return []
+    pairs: list[tuple[str, str]] = []
+    last_q, ans = "", []
+    last_index = -1
+    last_box: dict = {"text": ""}
+    last_bull = None
+    bull_x0_list: list[float] = []
+    for box in boxes:
+        m, index = has_qbullet(
+            reg, box, last_box, last_index, last_bull, bull_x0_list
+        )
+        last_box, last_index, last_bull = box, index, m
+        if m:
+            if last_q:
+                pairs.append((last_q.strip(), "\n".join(ans).strip()))
+            last_q, ans = box["text"] or "", []
+        elif last_q:
+            ans.append(box["text"] or "")
+    if last_q:
+        pairs.append((last_q.strip(), "\n".join(ans).strip()))
+    return pairs
+
+
+def qa_pairs_tabular(lines: list[str]) -> list[tuple[str, str]]:
+    """Tabular qa route (rag/app/qa.py:338-375 txt path): sniff the
+    delimiter (tab vs comma by 2-field line counts, tab wins ties); a
+    2-field line opens a new pair (pushing the previous when both question
+    and answer are filled); other lines append to the open answer; the
+    trailing question flushes."""
+    comma = sum(1 for ln in lines if len(ln.split(",")) == 2)
+    tab = sum(1 for ln in lines if len(ln.split("\t")) == 2)
+    delim = "\t" if tab >= comma else ","
+    pairs: list[tuple[str, str]] = []
+    question, answer = "", ""
+    for ln in lines:
+        arr = ln.split(delim)
+        if len(arr) != 2:
+            if question:
+                answer += "\n" + ln
+            continue
+        if question and answer:
+            pairs.append((question, answer))
+        question, answer = arr
+    if question:
+        pairs.append((question, answer))
+    return pairs
+
+
+_MD_HEADING = re.compile(r"^(#+)\s*(.*)$")
+
+
+def qa_pairs_markdown(lines: list[str]) -> list[tuple[str, str]]:
+    """Markdown qa route (rag/app/qa.py:418-452): headings are questions; a
+    heading stack tracks the hierarchy (a new heading pops deeper/equal
+    levels); accumulated body lines become the answer of the joined
+    question stack. Answers stay raw markdown (the reference renders HTML
+    via the markdown lib — documented deviation); code fences suppress
+    heading detection."""
+    pairs: list[tuple[str, str]] = []
+    last_answer = ""
+    question_stack: list[str] = []
+    level_stack: list[int] = []
+    code_block = False
+    for line in lines:
+        if line.strip().startswith("```"):
+            code_block = not code_block
+        level, question = 0, ""
+        if not code_block:
+            m = _MD_HEADING.match(line)
+            if m:
+                level, question = len(m.group(1)), m.group(2)
+        if not level or level > 6:
+            last_answer += "\n" + line
+            continue
+        if last_answer.strip():
+            sum_q = "\n".join(question_stack)
+            if sum_q:
+                pairs.append((sum_q, last_answer.strip()))
+            last_answer = ""
+        while question_stack and level <= level_stack[-1]:
+            question_stack.pop()
+            level_stack.pop()
+        question_stack.append(question)
+        level_stack.append(level)
+    if last_answer.strip():
+        sum_q = "\n".join(question_stack)
+        if sum_q:
+            pairs.append((sum_q, last_answer.strip()))
+    return pairs

@@ -21,6 +21,8 @@ sequence — independent of partitioning, salting, and batch boundaries.
 
 from __future__ import annotations
 
+import re
+
 from ragflow_spark.functions.textstats import doc_is_english
 from ragflow_spark.functions.tokens import num_tokens
 from ragflow_spark.kernels import chunkers
@@ -226,10 +228,18 @@ def chunk_doc(
         eng = doc_is_english([t for t, _ in sections])
         texts = chunkers.laws_chunk(sections, eng, chunk_token_num, delimiter)
     elif chunker == "qa":
-        texts = [
-            (q + "\n" + a).strip()
-            for q, a in chunkers.qa_pairs([t for t, _ in sections])
-        ]
+        lines = [t for t, _ in sections]
+        # route sniffing (the reference dispatches on file extension,
+        # rag/app/qa.py:313-471; extracted spans have no extension, so:
+        # markdown headings → md route, tab-delimited 2-field lines →
+        # tabular route, else question-bullet text route)
+        if any(re.match(r"^#{1,6}\s", ln or "") for ln in lines):
+            pairs = chunkers.qa_pairs_markdown(lines)
+        elif any(len((ln or "").split("\t")) == 2 for ln in lines):
+            pairs = chunkers.qa_pairs_tabular(lines)
+        else:
+            pairs = chunkers.qa_pairs(lines)
+        texts = [(q + "\n" + a).strip() for q, a in pairs]
     else:
         raise ValueError(f"unknown chunker {chunker!r}")
 

@@ -109,3 +109,76 @@ def test_chunk_doc_media_attachment():
     legacy = chunk_doc(spans, chunker="naive", chunk_token_num=512, attach_media=False)
     fig = [c for c in legacy if c["text"] == "Figure 1: pic"]
     assert len(fig) == 1 and fig[0]["media_refs"] == ["blob://d/0"]
+
+
+def test_index_int_converters():
+    from ragflow_spark.kernels.chunkers import index_int
+
+    assert index_int("7") == 7
+    assert index_int("THREE".lower()) == 3
+    assert index_int("twenty-one") == 21
+    assert index_int("十三") == 13
+    assert index_int("二十五") == 25
+    assert index_int("一百") == 100
+    assert index_int("IX") == 9
+    assert index_int("VII") == 7
+    assert index_int("gibberish") == -1
+
+
+def test_qa_pairs_tabular_delimiter_sniff_and_continuation():
+    from ragflow_spark.kernels.chunkers import qa_pairs_tabular
+
+    # comma majority -> comma delimiter
+    assert qa_pairs_tabular(["q1,a1", "q2,a2"]) == [("q1", "a1"), ("q2", "a2")]
+    # tab wins ties; delimiter-less lines append to the open answer
+    out = qa_pairs_tabular(["q1\ta1", "cont", "q2\ta2"])
+    assert out == [("q1", "a1\ncont"), ("q2", "a2")]
+    # preamble before the first question is counted as a failure, not output
+    assert qa_pairs_tabular(["junk", "q\ta"]) == [("q", "a")]
+
+
+def test_qa_pairs_markdown_heading_stack():
+    from ragflow_spark.kernels.chunkers import qa_pairs_markdown
+
+    lines = [
+        "# Top",
+        "## Sub A",
+        "answer a",
+        "## Sub B",
+        "answer b",
+        "# Next",
+        "answer c",
+        "```",
+        "# not a heading",
+        "```",
+    ]
+    out = qa_pairs_markdown(lines)
+    assert out[0] == ("Top\nSub A", "answer a")
+    assert out[1] == ("Top\nSub B", "answer b")
+    # code-fence content joins the answer instead of opening a question
+    assert out[2][0] == "Next"
+    assert "# not a heading" in out[2][1]
+
+
+def test_qa_pairs_pdf_geometry_checks():
+    from ragflow_spark.kernels.chunkers import qa_pairs_pdf
+
+    def bx(text, x0=72.0, top=100.0, kind="text"):
+        return {"text": text, "x0": x0, "top": top, "kind": kind}
+
+    # questions need >=20px vertical clearance from the previous line and
+    # aligned x0 (has_qbullet's continuation/indent rejections — a
+    # vertically-tight or indented numbered line is answer content)
+    boxes = [
+        bx("Quiz Document", top=40),
+        bx("1. What is a span?", top=100),
+        bx("A span is a unit.", top=114),
+        bx("2. What is a chunk?", top=140),
+        bx("A chunk groups spans.", top=154),
+        bx("3. nested enumeration", x0=95.0, top=168),
+    ]
+    out = qa_pairs_pdf(boxes)
+    assert len(out) == 2
+    assert out[0] == ("1. What is a span?", "A span is a unit.")
+    assert out[1][0] == "2. What is a chunk?"
+    assert "nested enumeration" in out[1][1]
