@@ -229,6 +229,62 @@ MANIFEST_SCHEMA = (
 )
 
 
+def _resolve_fs(path: str):
+    """(pyarrow FileSystem, fs-local path) for a plain path or URI
+    (s3://, hdfs://, gs://, file://). Gives the sink S3/HDFS portability
+    without extra deps — pyarrow ships the filesystem impls."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _use_rename_protocol(fs, direct_write: bool | None) -> bool:
+    from pyarrow import fs as pafs
+
+    if direct_write is not None:
+        return not direct_write
+    return isinstance(fs, pafs.LocalFileSystem)
+
+
+def _commit_table(fs, path: str, tbl, compression: str, rename: bool) -> None:
+    """Atomic per-split commit. Local/HDFS-like (rename=True): write a temp
+    file then rename — atomic on POSIX and HDFS. Object stores
+    (rename=False): write the final object directly — S3/GCS PUTs become
+    visible all-or-nothing and a failed task aborts its multipart upload,
+    so a *readable* object at the final key IS the commit marker."""
+    import pyarrow.parquet as pq
+
+    if rename:
+        tmp = path + ".tmp"
+        with fs.open_output_stream(tmp) as f:
+            pq.write_table(tbl, f, compression=compression)
+        fs.move(tmp, path)
+    else:
+        with fs.open_output_stream(path) as f:
+            pq.write_table(tbl, f, compression=compression)
+
+
+def _committed_rows(fs, path: str, rename: bool) -> int | None:
+    """Row count of a committed split file, None if absent/unreadable.
+    Under the direct-write protocol a truncated object can only exist on
+    filesystems without atomic visibility, so footer validation (rather
+    than bare existence) is the commit check."""
+    from pyarrow import fs as pafs
+
+    try:
+        info = fs.get_file_info(path)
+        if info.type != pafs.FileType.File:
+            return None
+        import pyarrow.parquet as pq
+
+        with fs.open_input_file(path) as f:
+            return pq.ParquetFile(f).metadata.num_rows
+    except Exception:
+        return None
+
+
 def extract_chunks_native_to_parquet(
     spark: SparkSession,
     path: str,
@@ -242,13 +298,19 @@ def extract_chunks_native_to_parquet(
     target_rows: int = 2000,
     compression: str = "snappy",
     resume: bool = False,
+    direct_write: bool | None = None,
 ) -> DataFrame:
     """Full python-native pipeline INCLUDING the sink: each task reads its
     row-group split, extracts+chunks, and writes its own parquet part —
     the chunk rows never cross the JVM boundary. Returns the manifest
     DataFrame (split_id, n_docs, n_chunks, out_file): one row per split =
     per-partition lineage for free, and file-per-split makes reruns
-    idempotent (same split → same file name, overwritten atomically).
+    idempotent (same split → same file name, committed atomically).
+
+    ``out_dir`` may be a plain path or an s3://, hdfs://, gs://, file://
+    URI — the commit protocol adapts (temp+rename on rename-capable
+    filesystems, direct all-or-nothing object write elsewhere; override
+    with ``direct_write``).
 
     At cluster scale this is the shape that keeps the write path scaling
     with executors instead of funneling Arrow batches back through the
@@ -256,31 +318,34 @@ def extract_chunks_native_to_parquet(
     into the same directory."""
     import os
 
-    os.makedirs(out_dir, exist_ok=True)
+    fs0, root0 = _resolve_fs(out_dir)
+    fs0.create_dir(root0, recursive=True)
 
     def run(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        fs, root = _resolve_fs(out_dir)
+        rename = _use_rename_protocol(fs, direct_write)
         for pdf in batches:
             for row in pdf.itertuples():
-                fname = os.path.join(
-                    out_dir,
-                    f"part-{os.path.basename(row.path)}-{row.rg_start}-{row.rg_end}.parquet",
+                fname = (
+                    f"{root.rstrip('/')}/"
+                    f"part-{os.path.basename(row.path)}-{row.rg_start}-{row.rg_end}.parquet"
                 )
-                if resume and os.path.exists(fname):
-                    # split already committed (atomic os.replace ⇒ a present
-                    # file is complete); lineage from its footer only
-                    md = pq.ParquetFile(fname).metadata
-                    yield pd.DataFrame(
-                        {
-                            "split_id": [int(row.Index)],
-                            "n_docs": [-1],  # not recounted on resume
-                            "n_chunks": [md.num_rows],
-                            "out_file": [fname],
-                        }
-                    )
-                    continue
+                if resume:
+                    nrows = _committed_rows(fs, fname, rename)
+                    if nrows is not None:
+                        # split already committed; lineage from footer only
+                        yield pd.DataFrame(
+                            {
+                                "split_id": [int(row.Index)],
+                                "n_docs": [-1],  # not recounted on resume
+                                "n_chunks": [nrows],
+                                "out_file": [fname],
+                            }
+                        )
+                        continue
                 tbl = pq.ParquetFile(row.path).read_row_groups(
                     list(range(row.rg_start, row.rg_end)),
                     columns=["doc_id", "spans"],
@@ -322,9 +387,7 @@ def extract_chunks_native_to_parquet(
                         ),
                     }
                 )
-                tmp = fname + ".tmp"
-                pq.write_table(out_tbl, tmp, compression=compression)
-                os.replace(tmp, fname)  # atomic per-split commit
+                _commit_table(fs, fname, out_tbl, compression, rename)
                 yield pd.DataFrame(
                     {
                         "split_id": [split_id],
@@ -339,11 +402,15 @@ def extract_chunks_native_to_parquet(
     )
     manifest = splits.mapInPandas(run, schema=MANIFEST_SCHEMA)
     if may_have_giants:
-        giants_dir = os.path.join(out_dir, "giants")
-        if resume and os.path.exists(os.path.join(giants_dir, "_SUCCESS")):
-            # giants already committed by a previous run (the _SUCCESS marker
-            # is written last by the parquet committer) — skip the whole tail
-            return manifest
+        giants_dir = out_dir.rstrip("/") + "/giants"
+        if resume:
+            from pyarrow import fs as pafs
+
+            info = fs0.get_file_info(f"{root0.rstrip('/')}/giants/_SUCCESS")
+            if info.type == pafs.FileType.File:
+                # giants already committed (the _SUCCESS marker is written
+                # last by the parquet committer) — skip the whole tail
+                return manifest
         giants = _giants_scan(spark, path, giant_threshold)
         giant_spans = finalize_stage(
             strip_stage(explode_spans(giants)), html_tables=html_tables

@@ -125,3 +125,56 @@ def test_chunks_native_equals_fused_with_giant_routing(spark, corpus_path):
     n_spans = tbl.column("n_spans").to_pylist()
     assert any(n >= 120 for n in n_spans), "fixture lacks giant docs"
     assert any(n < 120 for n in n_spans)
+
+
+def test_sink_portable_commit_protocols(spark, corpus_path, tmp_path_factory):
+    """The sink's object-store protocol (direct all-or-nothing write, footer
+    validity = commit marker) and URI resolution produce the same output as
+    the local rename protocol, including rerun idempotence and resume."""
+    from ragflow_spark.sources.parquet_spans import (
+        extract_chunks_native_to_parquet,
+    )
+
+    base = tmp_path_factory.mktemp("sink_fs")
+    out_rename = str(base / "rename")
+    out_direct = f"file://{base}/direct"  # URI resolution path
+
+    m1 = extract_chunks_native_to_parquet(
+        spark, corpus_path, out_rename, giant_threshold=10**6
+    ).toPandas()
+    # direct_write=True exercises the object-store commit branch
+    m2 = extract_chunks_native_to_parquet(
+        spark, corpus_path, out_direct, giant_threshold=10**6,
+        direct_write=True,
+    ).toPandas()
+    a = {
+        (r.doc_id, r.chunk_seq, r.text)
+        for r in spark.read.parquet(out_rename).collect()
+    }
+    b = {
+        (r.doc_id, r.chunk_seq, r.text)
+        for r in spark.read.parquet(out_direct).collect()
+    }
+    assert a == b and len(a) > 0
+    assert int(m1["n_chunks"].sum()) == int(m2["n_chunks"].sum())
+
+    # resume on the direct protocol: footer validity gates the skip
+    import os
+
+    ddir = f"{base}/direct"
+    parts = sorted(f for f in os.listdir(ddir) if f.endswith(".parquet"))
+    # truncate one part (simulates a non-atomic-visibility failure): resume
+    # must recompute it, not trust bare existence
+    victim = os.path.join(ddir, parts[0])
+    with open(victim, "r+b") as f:
+        f.truncate(10)
+    m3 = extract_chunks_native_to_parquet(
+        spark, corpus_path, out_direct, giant_threshold=10**6,
+        direct_write=True, resume=True,
+    ).toPandas()
+    assert (m3["n_docs"] == -1).sum() == len(m3) - 1
+    again = {
+        (r.doc_id, r.chunk_seq, r.text)
+        for r in spark.read.parquet(out_direct).collect()
+    }
+    assert again == a
