@@ -91,17 +91,19 @@ def median_height(boxes: list[dict]) -> float:
 
 
 def page_mean_height(boxes: list[dict]) -> dict[int, float]:
+    # pure-python means: these run per document per stage on tiny lists,
+    # where numpy's per-call overhead dominates the arithmetic
     acc: dict[int, list[float]] = {}
     for b in boxes:
         acc.setdefault(b["pn"], []).append(b["bottom"] - b["top"])
-    return {pn: (float(np.mean(v)) or 10.0) for pn, v in acc.items()}
+    return {pn: ((sum(v) / len(v)) or 10.0) for pn, v in acc.items()}
 
 
 def page_mean_width(boxes: list[dict]) -> dict[int, float]:
     acc: dict[int, list[float]] = {}
     for b in boxes:
         acc.setdefault(b["pn"], []).append(b["x1"] - b["x0"])
-    return {pn: (float(np.mean(v)) or 100.0) for pn, v in acc.items()}
+    return {pn: ((sum(v) / len(v)) or 100.0) for pn, v in acc.items()}
 
 
 def sort_y(boxes: list[dict], threshold: float) -> list[dict]:
@@ -579,7 +581,7 @@ def filter_scraps(boxes: list[dict], page_w: float = PAGE_W) -> list[dict]:
             bxs.pop(0)  # waste: narrow, short, untagged
         if not lines:
             continue
-        mw = float(np.mean([b["x1"] - b["x0"] for b in lines]))
+        mw = sum(b["x1"] - b["x0"] for b in lines) / len(lines)
         if mj or mw / page_w >= 0.35 or mw > 200:
             kept.extend(lines)
     kept.sort(key=lambda b: order[id(b)])
