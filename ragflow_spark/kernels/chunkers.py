@@ -295,75 +295,74 @@ def hierarchical_merge(
     ]
     if not secs:
         return []
+    import numpy as np
+
     size = len(BULLET_DIALECTS[bull])
-    levels: list[list[int]] = [[] for _ in range(size + 2)]
-    for i, (txt, layout) in enumerate(secs):
-        for j, p in enumerate(BULLET_DIALECTS[bull]):
-            if re.match(p, txt.strip()):
-                levels[j].append(i)
-                break
-        else:
-            if re.search(r"(title|head)", layout or "") and not not_title(txt):
-                levels[size].append(i)
-            else:
-                levels[size + 1].append(i)
+    n_levels = size + 2  # pattern ranks 0..size-1, layout-title, body
     texts = [t for t, _ in secs]
 
-    def most_recent_at_or_before(arr: list[int], target: int) -> int:
-        # rightmost index in arr <= target's predecessor window
-        if not arr:
-            return -1
-        if target > arr[-1]:
-            return len(arr) - 1
-        if target < arr[0]:
-            return -1
-        lo, hi = 0, len(arr)
-        while hi - lo > 1:
-            mid = (lo + hi) // 2
-            if target > arr[mid]:
-                lo = mid
-            else:
-                hi = mid
-        return lo
+    # 1. level vector: one pass classifying every section
+    def level_of(txt: str, layout: str) -> int:
+        for rank, pat in enumerate(BULLET_DIALECTS[bull]):
+            if re.match(pat, txt.strip()):
+                return rank
+        if re.search(r"(title|head)", layout or "") and not not_title(txt):
+            return size
+        return size + 1
 
-    cks: list[list[int]] = []
-    readed = [False] * len(texts)
-    rev = levels[::-1]
-    for i, arr in enumerate(rev[:depth]):
-        for j in arr:
-            if readed[j]:
+    lvl = np.array([level_of(t, o) for t, o in secs])
+    # position index per level for O(log n) most-recent-ancestor lookups
+    pos = {L: np.flatnonzero(lvl == L) for L in range(n_levels)}
+
+    def before(L: int, j: int) -> int:
+        """Most recent section index strictly before j at level L, -1 if
+        none (the reference's binary search over its level buckets)."""
+        arr = pos[L]
+        k = int(np.searchsorted(arr, j))
+        return int(arr[k - 1]) if k > 0 else -1
+
+    # 2. chunk assembly: the deepest ``depth`` levels start chunks; each
+    # start pulls its most-recent ancestor at every shallower level. An
+    # ancestor found AFTER the previously collected one supersedes it (the
+    # deeper heading belonged to an earlier branch).
+    consumed = np.zeros(len(texts), dtype=bool)
+    chunks: list[list[str]] = []
+    start_levels = [n_levels - 1 - d for d in range(min(depth, n_levels))]
+    for L in start_levels:
+        for j in pos[L]:
+            j = int(j)
+            if consumed[j]:
                 continue
-            readed[j] = True
-            cks.append([j])
-            if i + 1 == len(rev) - 1:
-                continue
-            for ii in range(i + 1, len(rev)):
-                jj = most_recent_at_or_before(rev[ii], j)
-                if jj < 0:
-                    continue
-                if rev[ii][jj] > cks[-1][-1]:
-                    cks[-1].pop(-1)
-                cks[-1].append(rev[ii][jj])
-            for ii in cks[-1]:
-                readed[ii] = True
-    if not cks:
+            chain = [j]
+            if L != 1:  # quirk preserved: level-1 starts take no ancestors
+                for L2 in range(L - 1, -1, -1):
+                    a = before(L2, j)
+                    if a < 0:
+                        continue
+                    if a > chain[-1]:
+                        chain.pop()
+                    chain.append(a)
+            consumed[chain] = True
+            chunks.append([texts[k] for k in reversed(chain)])
+
+    if not chunks:
         return []
-    chunks = [[texts[j] for j in ck[::-1]] for ck in cks]
 
+    # 3. singleton coalescing: lone sections pack together under 218 tokens
     res: list[list[str]] = [[]]
-    num = [0]
+    budget_used = [0]
     for ck in chunks:
         if len(ck) == 1:
             n = num_tokens(ck[0])
-            if n + num[-1] < 218:
+            if n + budget_used[-1] < 218:
                 res[-1].append(ck[0])
-                num[-1] += n
+                budget_used[-1] += n
                 continue
             res.append(ck)
-            num.append(n)
-            continue
-        res.append(ck)
-        num.append(218)
+            budget_used.append(n)
+        else:
+            res.append(ck)
+            budget_used.append(218)
     return [r for r in res if r]
 
 

@@ -119,6 +119,61 @@ def sort_y(boxes: list[dict], threshold: float) -> list[dict]:
     return [boxes[i] for i in order]
 
 
+def sort_x(boxes: list[dict], threshold: float) -> list[dict]:
+    """Banded stable X-then-Y sort (recognizer.py:64-74 sort_X_firstly):
+    quantize x0 by ``threshold``, then order by (page, x-band, top)."""
+    if not boxes:
+        return boxes
+    x0 = np.array([b["x0"] for b in boxes])
+    top = np.array([b["pn"] * PAGE_H + b["top"] for b in boxes])
+    band = np.rint(x0 / threshold).astype(np.int64) if threshold > 0 else x0
+    order = np.lexsort((np.arange(len(boxes)), top, band))
+    return [boxes[i] for i in order]
+
+
+def sort_c(boxes: list[dict], threshold: float) -> list[dict]:
+    """Column-major sort (recognizer.py:76-93 sort_C_firstly): order by the
+    explicit column id when present (TSR ``C`` tag → cell key "cn"), else
+    the x-band; the reference's bubble re-sort passes are equivalent to one
+    lexsort on (column, top)."""
+    if not boxes:
+        return boxes
+    col = np.array(
+        [
+            b["cn"]
+            if "cn" in b
+            else (np.rint(b["x0"] / threshold) if threshold > 0 else b["x0"])
+            for b in boxes
+        ]
+    )
+    top = np.array([b["pn"] * PAGE_H + b["top"] for b in boxes])
+    order = np.lexsort((np.arange(len(boxes)), top, col))
+    return [boxes[i] for i in order]
+
+
+def sort_r(boxes: list[dict], threshold: float) -> list[dict]:
+    """Row-major sort (recognizer.py:95-111 sort_R_firstly): order by the
+    explicit row id when present (TSR ``R`` tag → cell key "rn"), else the
+    y-band; then x0."""
+    if not boxes:
+        return boxes
+    row = np.array(
+        [
+            b["rn"]
+            if "rn" in b
+            else (
+                np.rint((b["pn"] * PAGE_H + b["top"]) / threshold)
+                if threshold > 0
+                else b["pn"] * PAGE_H + b["top"]
+            )
+            for b in boxes
+        ]
+    )
+    x0 = np.array([b["x0"] for b in boxes])
+    order = np.lexsort((np.arange(len(boxes)), x0, row))
+    return [boxes[i] for i in order]
+
+
 def detect_column_width(boxes: list[dict]) -> float:
     """median box width (rag/app/paper.py:58)."""
     if not boxes:

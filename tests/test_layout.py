@@ -310,3 +310,23 @@ def test_layouts_cleanup_keeps_distinct_regions():
     t2 = [box("b", kind="table", x0=90, x1=180, top=300, bottom=310, lo=1)]
     out = L.layouts_cleanup(t1 + t2)
     assert {b["lo"] for b in out} == {0, 1}
+
+
+def test_sort_x_c_r_family():
+    # sort_X_firstly: x-band then top
+    boxes = [box("b", x0=302, top=100), box("a", x0=72, top=200), box("c", x0=300, top=300)]
+    assert [b["text"] for b in L.sort_x(boxes, threshold=10)] == ["a", "b", "c"]
+    # sort_C_firstly: explicit column ids dominate geometry
+    cells = [
+        dict(box("c1r2", x0=300, top=200), cn=0),
+        dict(box("c2r1", x0=72, top=100), cn=1),
+        dict(box("c1r1", x0=300, top=100), cn=0),
+    ]
+    assert [b["text"] for b in L.sort_c(cells, 10)] == ["c1r1", "c1r2", "c2r1"]
+    # sort_R_firstly: explicit row ids then x0
+    rows = [
+        dict(box("r1c2", x0=300, top=500), rn=0),
+        dict(box("r2c1", x0=72, top=100), rn=1),
+        dict(box("r1c1", x0=72, top=500), rn=0),
+    ]
+    assert [b["text"] for b in L.sort_r(rows, 10)] == ["r1c1", "r1c2", "r2c1"]

