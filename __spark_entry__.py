@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_book": _mk_chunk("book", 256),
         "chunk_paper": _mk_chunk("paper", 512),
         "chunk_laws": _mk_chunk("laws", 512),
+        "chunk_manual": _mk_chunk("manual", 512),
+        "chunk_email": _mk_chunk("email", 128),
         "chunk_qa": _q_chunk_qa,
         "chunk_one": _q_chunk_one,
         "table_rows_to_docs": assembly.table_rows_to_docs,

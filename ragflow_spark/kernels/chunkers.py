@@ -757,3 +757,46 @@ def qa_pairs_markdown(lines: list[str]) -> list[tuple[str, str]]:
         if sum_q:
             pairs.append((sum_q, last_answer.strip()))
     return pairs
+
+
+def manual_chunk(sections: list[tuple[str, str]], is_english: bool = True) -> list[str]:
+    """Manual template (rag/app/manual.py:214-253, non-outline PDF path):
+    bullet dialect → per-section outline levels → section ids that advance
+    when a title-level section changes level; then a fold that keeps
+    gluing while the chunk is tiny (<32 tokens) or stays in the same
+    section under 1024 tokens. Position tags ride as structs upstream, and
+    tables are standalone chunks in this engine, so the pos/table
+    interleave of the reference is not replayed here."""
+    if not sections:
+        return []
+    bull = bullets_category([t for t, _ in sections])
+    most_level, levels = title_frequency(bull, sections)
+    sec_ids = []
+    sid = 0
+    for i, lvl in enumerate(levels):
+        if lvl <= most_level and i > 0 and lvl != levels[i - 1]:
+            sid += 1
+        sec_ids.append(sid)
+    chunks: list[str] = []
+    last_sid = -2
+    tk_cnt = 0
+    for (txt, _), sec_id in zip(sections, sec_ids):
+        if chunks and (tk_cnt < 32 or (tk_cnt < 1024 and sec_id == last_sid)):
+            chunks[-1] += "\n" + txt
+            tk_cnt += num_tokens(txt)
+            continue
+        chunks.append(txt)
+        tk_cnt = num_tokens(txt)
+        last_sid = sec_id
+    return chunks
+
+
+def email_chunk(
+    texts: list[str],
+    chunk_token_num: int = 128,
+    delimiter: str = "\n。；！？",
+) -> list[str]:
+    """Email template (rag/app/email.py:85): the text body reduces to a
+    naive_merge at the email default budget; header fields enter as
+    ordinary leading sections."""
+    return naive_merge(texts, chunk_token_num, delimiter)

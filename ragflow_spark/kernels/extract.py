@@ -172,7 +172,7 @@ def extract_doc(spans: list[dict], html_tables: bool = False) -> list[dict]:
     return finalize_doc(strip_rows(spans), html_tables=html_tables)
 
 
-CHUNKERS = ("naive", "book", "paper", "laws", "qa")
+CHUNKERS = ("naive", "book", "paper", "laws", "qa", "manual", "email")
 
 
 def chunk_doc(
@@ -227,6 +227,11 @@ def chunk_doc(
     elif chunker == "laws":
         eng = doc_is_english([t for t, _ in sections])
         texts = chunkers.laws_chunk(sections, eng, chunk_token_num, delimiter)
+    elif chunker == "manual":
+        eng = doc_is_english([t for t, _ in sections])
+        texts = chunkers.manual_chunk(sections, eng)
+    elif chunker == "email":
+        texts = chunkers.email_chunk([t for t, _ in sections], chunk_token_num, delimiter)
     elif chunker == "qa":
         lines = [t for t, _ in sections]
         # route sniffing (the reference dispatches on file extension,

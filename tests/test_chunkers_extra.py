@@ -182,3 +182,29 @@ def test_qa_pairs_pdf_geometry_checks():
     assert out[0] == ("1. What is a span?", "A span is a unit.")
     assert out[1][0] == "2. What is a chunk?"
     assert "nested enumeration" in out[1][1]
+
+
+def test_manual_chunk_section_fold():
+    from ragflow_spark.kernels.chunkers import manual_chunk
+
+    long_body = ("word " * 40).strip() + "."
+    sections = [
+        ("Chapter 1 Setup", "title"),
+        (long_body, "text"),
+        (long_body, "text"),
+        ("Chapter 2 Operation", "title"),
+        (long_body, "text"),
+    ]
+    out = manual_chunk(sections)
+    # tiny head glues (<32 tokens), same-section bodies glue under 1024,
+    # the new section id at Chapter 2 opens a new chunk
+    assert len(out) == 2
+    assert out[0].startswith("Chapter 1 Setup")
+    assert out[1].startswith("Chapter 2 Operation")
+
+
+def test_email_chunk_is_naive_merge_at_email_budget():
+    from ragflow_spark.kernels.chunkers import email_chunk, naive_merge
+
+    texts = ["From: a@b.c\n", "Subject: hi\n", ("body " * 200).strip()]
+    assert email_chunk(texts) == naive_merge(texts, 128, "\n。；！？")
