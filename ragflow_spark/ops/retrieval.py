@@ -129,25 +129,27 @@ _DUCK_RAW_WEIGHT = f"""
 """
 
 
-def _corpus_stats(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(freq, df) per token over the whole corpus — the engine's analog of
-    the reference's frequency dictionary."""
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, freq, df) over the whole corpus — the engine's analog of the
+    reference's frequency dictionary. ONE scan, one shuffle: freq and df
+    come out of the same aggregation."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
-    freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
-    dft = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    return freq, dft
+    return toks.groupBy("token").agg(
+        F.count("*").alias("freq"), F.countDistinct("doc_id").alias("df")
+    )
 
 
 _DUCK_CORPUS_STATS = """
 ctoks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
   FROM documents),
-freq_t AS (SELECT token, count(*) AS freq FROM ctoks WHERE token <> '' GROUP BY token),
-df_t AS (SELECT token, count(DISTINCT doc_id) AS df FROM ctoks WHERE token <> '' GROUP BY token)
+stats_t AS (
+  SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df
+  FROM ctoks WHERE token <> '' GROUP BY token)
 """
 
 TW_QUERY_MOD = 20  # term-weight query docs: doc_id % 20 == 0
@@ -170,20 +172,19 @@ def term_weights(
             F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         ).alias("token"),
     ).where(F.col("token") != "")
-    freq, dft = _corpus_stats(spark, sf_dir)
-    j = toks.join(freq, "token", "left").join(dft, "token", "left")
+    stats = _corpus_stats(spark, sf_dir)
+    j = toks.join(stats, "token", "left")
     wq = F.round(
         _raw_weight(F.col("token"), F.col("freq"), F.col("df")) * 1e6
     ).cast("bigint")
     withw = j.select("doc_id", "token", wq.alias("wq"))
-    tot = withw.groupBy("doc_id").agg(F.sum("wq").alias("s"))
-    return (
-        withw.join(tot, "doc_id")
-        .select(
-            F.col("doc_id").alias("query_id"),
-            "token",
-            F.round(F.col("wq") / F.col("s"), 6).alias("weight_r6"),
-        )
+    # window-sum normalization: one pass, no aggregate+self-join (which
+    # would recompute the whole stats subtree per consumer)
+    s = F.sum("wq").over(Window.partitionBy("doc_id"))
+    return withw.select(
+        F.col("doc_id").alias("query_id"),
+        "token",
+        F.round(F.col("wq") / s, 6).alias("weight_r6"),
     )
 
 
@@ -197,8 +198,7 @@ w AS (
   SELECT q.doc_id, q.token,
          CAST(round(({_DUCK_RAW_WEIGHT}) * 1e6) AS BIGINT) AS wq
   FROM qtoks q
-  LEFT JOIN freq_t USING (token)
-  LEFT JOIN df_t USING (token)
+  LEFT JOIN stats_t USING (token)
   WHERE q.token <> ''),
 tot AS (SELECT doc_id, sum(wq) AS s FROM w GROUP BY doc_id)
 SELECT w.doc_id AS query_id, w.token,
@@ -273,26 +273,24 @@ def query_build(
         "query_id",
         F.posexplode(F.split(F.col("q"), r"\s+")).alias("pos", "token"),
     ).where(F.col("token") != "")
-    freq, dft = _corpus_stats(spark, sf_dir)
-    j = toks.join(freq, "token", "left").join(dft, "token", "left")
+    stats = _corpus_stats(spark, sf_dir)
+    j = toks.join(stats, "token", "left")
     wq = F.round(
         _raw_weight(F.col("token"), F.col("freq"), F.col("df")) * 1e6
     ).cast("bigint")
     withw = j.select("query_id", "pos", "token", wq.alias("wq"))
-    tot = withw.groupBy("query_id").agg(F.sum("wq").alias("s"))
-    norm = withw.join(tot, "query_id").select(
-        "query_id", "pos", "token", (F.col("wq") / F.col("s")).alias("w")
-    )
-    terms = norm.select(
-        "query_id",
-        "pos",
-        F.col("token").alias("term"),
-        F.lit("term").alias("term_type"),
-        F.round(F.col("w"), 4).alias("boost_r4"),
-    )
     win = Window.partitionBy("query_id").orderBy("pos")
-    phrases = (
-        norm.select(
+    # single pass: each token row emits its term row, its bigram phrase row
+    # (when a successor exists), and — on the query's first row — the seven
+    # constant field rows. A union of separate branches would rescan the
+    # corpus once per branch; the explode keeps it one lineage, and the
+    # window-sum normalization avoids an aggregate+self-join recompute.
+    s = F.sum("wq").over(Window.partitionBy("query_id"))
+    norm = (
+        withw.select(
+            "query_id", "pos", "token", (F.col("wq") / s).alias("w")
+        )
+        .select(
             "query_id",
             "pos",
             "token",
@@ -300,23 +298,47 @@ def query_build(
             F.lead("token").over(win).alias("nxt"),
             F.lead("w").over(win).alias("nw"),
             F.lead("pos").over(win).alias("npos"),
-        )
-        .where(F.col("nxt").isNotNull())
-        .select(
-            "query_id",
-            F.col("npos").alias("pos"),
-            F.concat_ws(" ", "token", "nxt").alias("term"),
-            F.lit("phrase").alias("term_type"),
-            F.round(F.greatest("w", "nw") * 2, 4).alias("boost_r4"),
+            F.row_number().over(win).alias("rn"),
         )
     )
-    fields = cleaned.select("query_id").crossJoin(
-        spark.createDataFrame(
-            [(i, f, b) for i, (f, b) in enumerate(QUERY_FIELDS)],
-            "pos int, term string, boost_r4 double",
-        ).select("pos", "term", F.lit("field").alias("term_type"), "boost_r4")
-    ).select("query_id", "pos", "term", "term_type", "boost_r4")
-    return terms.unionByName(phrases).unionByName(fields)
+    mk = lambda pos, term, typ, boost: F.struct(  # noqa: E731
+        pos.cast("int").alias("pos"),
+        term.alias("term"),
+        typ.alias("term_type"),
+        boost.alias("boost_r4"),
+    )
+    term_s = mk(
+        F.col("pos"), F.col("token"), F.lit("term"), F.round(F.col("w"), 4)
+    )
+    phrase_s = F.when(
+        F.col("nxt").isNotNull(),
+        mk(
+            F.col("npos"),
+            F.concat_ws(" ", "token", "nxt"),
+            F.lit("phrase"),
+            F.round(F.greatest("w", "nw") * 2, 4),
+        ),
+    )
+    field_structs = [
+        F.when(
+            F.col("rn") == 1,
+            mk(F.lit(i), F.lit(f), F.lit("field"), F.lit(b)),
+        )
+        for i, (f, b) in enumerate(QUERY_FIELDS)
+    ]
+    rows = norm.select(
+        "query_id",
+        F.explode(
+            F.array_compact(F.array(term_s, phrase_s, *field_structs))
+        ).alias("r"),
+    )
+    return rows.select(
+        "query_id",
+        F.col("r.pos").alias("pos"),
+        F.col("r.term").alias("term"),
+        F.col("r.term_type").alias("term_type"),
+        F.col("r.boost_r4").alias("boost_r4"),
+    )
 
 
 _FIELDS_VALUES = ", ".join(
@@ -340,8 +362,7 @@ w0 AS (
   SELECT query_id, pos, token,
          CAST(round(({_DUCK_RAW_WEIGHT}) * 1e6) AS BIGINT) AS wq
   FROM qtoks
-  LEFT JOIN freq_t USING (token)
-  LEFT JOIN df_t USING (token)),
+  LEFT JOIN stats_t USING (token)),
 tot AS (SELECT query_id, sum(wq) AS s FROM w0 GROUP BY query_id),
 norm AS (
   SELECT w0.query_id, w0.pos, w0.token, w0.wq / tot.s AS w
