@@ -183,6 +183,79 @@ def _q_chunk_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-template kernel (kernels/chunkers.py tag_pairs, rag/app/tag.py
+    txt path) over deterministic tab-delimited content/tag lines built from
+    the documents table: a delimiter-less preamble line accumulates into the
+    first pair's content, tags comma-split with '.'→'_'."""
+    import pandas as pd
+
+    from ragflow_spark.kernels.chunkers import tag_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, contents, tags_out = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").replace(",", "").split()
+                j = lambda a, b: " ".join(words[a:b])  # noqa: E731
+                lines = [
+                    j(0, 4),
+                    f"{j(4, 8)}\t{j(8, 9)}, {j(9, 10)}.x",
+                    f"{j(10, 13)}\t{j(13, 14)}",
+                ]
+                for i, (content, tags) in enumerate(tag_pairs(lines)):
+                    ids.append(f"tag-{doc_id}")
+                    seqs.append(i)
+                    contents.append(content)
+                    tags_out.append(",".join(tags))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_seq": seqs,
+                    "content": contents,
+                    "tag_kwd": tags_out,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, chunk_seq int, content string, tag_kwd string",
+    )
+
+
+_CHUNK_TAG_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(text, ',', '', 'g')), '\\s+') AS words
+  FROM documents),
+j AS (
+  SELECT doc_id,
+         coalesce(array_to_string(words[1:4], ' '), '') AS l1,
+         coalesce(array_to_string(words[5:8], ' '), '') AS l2c,
+         coalesce(array_to_string(words[9:9], ' '), '') AS t1,
+         coalesce(array_to_string(words[10:10], ' '), '') AS t2,
+         coalesce(array_to_string(words[11:13], ' '), '') AS l3c,
+         coalesce(array_to_string(words[14:14], ' '), '') AS t3
+  FROM w)
+SELECT 'tag-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(0 AS INTEGER) AS chunk_seq,
+       chr(10) || l1 || chr(10) || l2c AS content,
+       -- python: ".x".strip() is truthy, so the second tag is always
+       -- present as t2_x (t2 possibly empty); t1 drops when empty
+       (CASE WHEN t1 <> '' THEN t1 || ',' ELSE '' END) || t2 || '_x' AS tag_kwd
+FROM j
+UNION ALL
+SELECT 'tag-' || CAST(doc_id AS VARCHAR), CAST(1 AS INTEGER),
+       chr(10) || l3c,
+       t3
+FROM j
+"""
+
+
 from ragflow_spark.functions.tokens import DUCKDB_SQL_EXPR as _TOK
 
 _CHUNK_QA_SQL = f"""
@@ -234,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_laws": _mk_chunk("laws", 512),
         "chunk_manual": _mk_chunk("manual", 512),
         "chunk_email": _mk_chunk("email", 128),
+        "chunk_tag": _q_chunk_tag,
         "chunk_qa": _q_chunk_qa,
         "chunk_one": _q_chunk_one,
         "table_rows_to_docs": assembly.table_rows_to_docs,
@@ -294,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_aggs": relational.DOC_AGGS_SQL,
         "tag_aggs": relational.TAG_AGGS_SQL,
         "chunk_qa": _CHUNK_QA_SQL,
+        "chunk_tag": _CHUNK_TAG_SQL,
         "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
         "term_idf": retrieval.TERM_IDF_SQL,
         "term_weights": retrieval.TERM_WEIGHTS_SQL,

@@ -800,3 +800,26 @@ def email_chunk(
     naive_merge at the email default budget; header fields enter as
     ordinary leading sections."""
     return naive_merge(texts, chunk_token_num, delimiter)
+
+
+def tag_pairs(lines: list[str]) -> list[tuple[str, list[str]]]:
+    """Tag template (rag/app/tag.py:66-97 txt path): delimiter sniff (tab vs
+    comma 2-field counts, tab wins ties); non-2-field lines accumulate into
+    the pending content; a 2-field line closes a pair — content gets the
+    first field appended, tags parse from the second (comma-split, dots
+    becoming underscores, rag/app/tag.py:25)."""
+    comma = sum(1 for ln in lines if len(ln.split(",")) == 2)
+    tab = sum(1 for ln in lines if len(ln.split("\t")) == 2)
+    delim = "\t" if tab >= comma else ","
+    pairs: list[tuple[str, list[str]]] = []
+    content = ""
+    for ln in lines:
+        arr = ln.split(delim)
+        if len(arr) != 2:
+            content += "\n" + ln
+            continue
+        content += "\n" + arr[0]
+        tags = [t.strip().replace(".", "_") for t in arr[1].split(",") if t.strip()]
+        pairs.append((content, tags))
+        content = ""
+    return pairs

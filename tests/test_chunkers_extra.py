@@ -208,3 +208,17 @@ def test_email_chunk_is_naive_merge_at_email_budget():
 
     texts = ["From: a@b.c\n", "Subject: hi\n", ("body " * 200).strip()]
     assert email_chunk(texts) == naive_merge(texts, 128, "\n。；！？")
+
+
+def test_tag_pairs():
+    from ragflow_spark.kernels.chunkers import tag_pairs
+
+    out = tag_pairs([
+        "preamble context",
+        "entry one\tnlp, ml.core",
+        "entry two\tdata",
+    ])
+    assert out == [
+        ("\npreamble context\nentry one", ["nlp", "ml_core"]),
+        ("\nentry two", ["data"]),
+    ]
