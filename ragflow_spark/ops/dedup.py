@@ -151,13 +151,22 @@ LSH_BANDS = 16  # 16 bands × 4 rows: P(collide) ≈ 1-(1-j^4)^16, steep at j=0.
 
 
 def minhash_signatures(ds: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k-permutation MinHash over distinct shingles: one groupBy computing k
-    mins of xxhash64(perm_id, shingle) — map-side partial aggregation makes
-    this a single cheap shuffle of k longs per doc."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)
-    ]
-    return ds.groupBy("doc_id").agg(*aggs)
+    """k-permutation MinHash over distinct shingles via double hashing:
+    TWO xxhash64 evaluations per shingle (h1, h2), then k derived
+    permutations g_i = h1 XOR rotl(h2, i) — bitwise, so ANSI-safe, and
+    ~30x less hash work than k independent xxhash64 calls. One groupBy
+    with map-side partial aggregation → a single cheap shuffle of k longs
+    per doc."""
+    h1 = F.xxhash64(F.col("sh"))
+    h2 = F.xxhash64(F.lit(1), F.col("sh"))
+
+    def perm(i: int):
+        rot = F.shiftleft(h2, i % 64).bitwiseOR(
+            F.shiftrightunsigned(h2, (64 - i) % 64)
+        )
+        return F.min(h1.bitwiseXOR(rot)).alias(f"h{i}")
+
+    return ds.groupBy("doc_id").agg(*[perm(i) for i in range(k)])
 
 
 def minhash_lsh_pairs(
