@@ -120,3 +120,128 @@ def test_stream_batch_parity_and_incremental(spark, tmp_path_factory):
     q3.awaitTermination(240)
     assert _chunkset(spark.read.parquet(out).drop("batch_id")) == want2
     assert spark.read.parquet(out).count() == len(want2)
+
+
+def test_stream_sessionize_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization == the batch window fold:
+    sessions closed by in-batch gaps and by event-time timeouts together
+    reproduce the batch session structure for the original events."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.ops.relational import SESSION_GAP_US
+    from ragflow_spark.streaming.sessionize_stream import stream_sessionize
+
+    base = tmp_path_factory.mktemp("sess")
+    inp, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(inp, exist_ok=True)
+
+    # synthetic per-user event times: 3 users, sessions separated by >30min
+    gap_s = SESSION_GAP_US // 1_000_000
+    rows = []
+    eid = 0
+    base_ts = pd.Timestamp("2024-01-01 00:00:00")
+    for user in (1, 2, 3):
+        t = base_ts + pd.Timedelta(minutes=user)
+        for sess in range(user):  # user k has k sessions
+            for j in range(3):  # 3 events per session, 5 min apart
+                rows.append((eid, t, user, "click", 1.0))
+                eid += 1
+                t += pd.Timedelta(minutes=5)
+            t += pd.Timedelta(seconds=gap_s + 600)  # close the session
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    half = len(events) // 2
+    events.iloc[:half].to_parquet(f"{inp}/w1.parquet", index=False, coerce_timestamps="us")
+    events.iloc[half:].to_parquet(f"{inp}/w2.parquet", index=False, coerce_timestamps="us")
+
+    q = stream_sessionize(spark, inp, out, ckpt)
+    q.awaitTermination(240)
+
+    # flush wave: one far-future event per user advances the watermark past
+    # every open session's timeout
+    flush = pd.DataFrame(
+        [
+            (10_000 + u, base_ts + pd.Timedelta(days=10), u, "flush", 0.0)
+            for u in (1, 2, 3)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    flush.to_parquet(f"{inp}/w3.parquet", index=False, coerce_timestamps="us")
+    q2 = stream_sessionize(spark, inp, out, ckpt)
+    q2.awaitTermination(240)
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_seq").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    by_user = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got}
+    # batch truth over the ORIGINAL events: user k has k sessions x 3 events
+    assert by_user == {1: (1, 3), 2: (2, 6), 3: (3, 9)}
+    # closed sessions carry exact integer start/end times
+    sess = spark.read.parquet(out).collect()
+    for r in sess:
+        assert r["end_us"] - r["start_us"] == 2 * 5 * 60 * 1_000_000
+
+
+def test_stream_windowed_counts_watermark(spark, tmp_path_factory):
+    """Watermarked tumbling windows in append mode: after the watermark
+    passes (flush wave), the finalized windows equal the batch windowed
+    aggregation of the original events."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.streaming.sessionize_stream import (
+        stream_windowed_counts,
+    )
+
+    base = tmp_path_factory.mktemp("winagg")
+    inp, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(inp, exist_ok=True)
+    base_ts = pd.Timestamp("2024-02-01 00:00:00")
+    rows = [
+        (i, base_ts + pd.Timedelta(minutes=3 * i), i % 4, ("view", "click")[i % 2], 1.25 * i)
+        for i in range(40)
+    ]
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    events.to_parquet(f"{inp}/w1.parquet", index=False, coerce_timestamps="us")
+    q = stream_windowed_counts(spark, inp, out, ckpt)
+    q.awaitTermination(240)
+    # flush: a far-future event finalizes every original window
+    pd.DataFrame(
+        [(999, base_ts + pd.Timedelta(days=2), 0, "flush", 0.0)],
+        columns=events.columns,
+    ).to_parquet(f"{inp}/w2.parquet", index=False, coerce_timestamps="us")
+    q2 = stream_windowed_counts(spark, inp, out, ckpt)
+    q2.awaitTermination(240)
+
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in spark.read.parquet(out).collect()
+        if r["event_type"] != "flush"
+    }
+    batch = (
+        spark.createDataFrame(events)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("vc"),
+        )
+        .collect()
+    )
+    want = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["vc"]) for r in batch
+    }
+    assert got == want and len(got) > 0
