@@ -59,10 +59,10 @@ def test_sink_in_task_equals_fused(spark, corpus_path, tmp_path_factory):
     assert (manifest["n_chunks"] >= 0).all() and len(manifest) >= 2
     written = spark.read.option("recursiveFileLookup", "true").parquet(out)
     a = {
-        (r.doc_id, r.chunk_seq, r.text, r.token_count) for r in written.collect()
+        (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or [])) for r in written.collect()
     }
     b = {
-        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or []))
         for r in extract_chunks_fused(spark.read.parquet(corpus_path)).collect()
     }
     assert a == b
@@ -72,7 +72,7 @@ def test_sink_in_task_equals_fused(spark, corpus_path, tmp_path_factory):
         spark, corpus_path, out, giant_threshold=120
     ).count()
     again = {
-        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or []))
         for r in spark.read.option("recursiveFileLookup", "true")
         .parquet(out)
         .collect()
@@ -96,7 +96,7 @@ def test_sink_in_task_equals_fused(spark, corpus_path, tmp_path_factory):
     ).toPandas()
     assert (m2["n_docs"] == -1).sum() == len(m2) - 1  # all but one skipped
     resumed = {
-        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or []))
         for r in spark.read.option("recursiveFileLookup", "true")
         .parquet(out)
         .collect()
@@ -107,13 +107,13 @@ def test_sink_in_task_equals_fused(spark, corpus_path, tmp_path_factory):
 def test_chunks_native_equals_fused_with_giant_routing(spark, corpus_path):
     # giant_threshold=120 forces a real split: some fixture docs exceed it
     native = {
-        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or []))
         for r in extract_chunks_native(
             spark, corpus_path, giant_threshold=120
         ).collect()
     }
     fused = {
-        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or []))
         for r in extract_chunks_fused(spark.read.parquet(corpus_path)).collect()
     }
     assert native == fused

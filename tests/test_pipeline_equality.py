@@ -68,11 +68,11 @@ def test_fused_chunks_equal_staged(spark, docs):
     from ragflow_spark.operators.extract import extract_chunks_fused
 
     staged = {
-        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or []))
         for r in chunk_stage(extract_spans(docs), chunker="naive").collect()
     }
     fused = {
-        (r.doc_id, r.chunk_seq, r.text, r.token_count)
+        (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or []))
         for r in extract_chunks_fused(docs, chunker="naive").collect()
     }
     assert fused == staged
@@ -82,7 +82,7 @@ def test_chunk_stage_equals_oracle(spark, docs, oracle_spans):
     spans_df = extract_spans(docs).cache()
     got = {}
     for r in chunk_stage(spans_df, chunker="naive", chunk_token_num=128).collect():
-        got.setdefault(r.doc_id, []).append((r.chunk_seq, r.text, r.token_count))
+        got.setdefault(r.doc_id, []).append((r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or [])))
     for v in got.values():
         v.sort()
     for doc_id, spans in oracle_spans.items():
@@ -90,7 +90,7 @@ def test_chunk_stage_equals_oracle(spark, docs, oracle_spans):
             {"seq": s, "kind": k, "text": t, "media_ref": m} for s, k, t, m in spans
         ]
         expected = [
-            (c["chunk_seq"], c["text"], c["token_count"])
+            (c["chunk_seq"], c["text"], c["token_count"], tuple(c["media_refs"]))
             for c in chunk_doc(spans_dicts, "naive", 128)
         ]
         assert got.get(doc_id, []) == expected, f"chunk mismatch in {doc_id}"

