@@ -234,14 +234,18 @@ def chunk_doc(
         texts = chunkers.email_chunk([t for t, _ in sections], chunk_token_num, delimiter)
     elif chunker == "qa":
         lines = [t for t, _ in sections]
+        # extracted sections may hold several physical lines (the md parser
+        # glues a heading to its body); the md/tabular routes are
+        # line-oriented, so re-split for them
+        phys = [pl for t in lines for pl in (t or "").split("\n")]
         # route sniffing (the reference dispatches on file extension,
         # rag/app/qa.py:313-471; extracted spans have no extension, so:
         # markdown headings → md route, tab-delimited 2-field lines →
         # tabular route, else question-bullet text route)
-        if any(re.match(r"^#{1,6}\s", ln or "") for ln in lines):
-            pairs = chunkers.qa_pairs_markdown(lines)
-        elif any(len((ln or "").split("\t")) == 2 for ln in lines):
-            pairs = chunkers.qa_pairs_tabular(lines)
+        if any(re.match(r"^#{1,6}\s", ln) for ln in phys):
+            pairs = chunkers.qa_pairs_markdown(phys)
+        elif any(len(ln.split("\t")) == 2 for ln in phys):
+            pairs = chunkers.qa_pairs_tabular(phys)
         else:
             pairs = chunkers.qa_pairs(lines)
         texts = [(q + "\n" + a).strip() for q, a in pairs]

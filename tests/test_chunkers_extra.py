@@ -222,3 +222,18 @@ def test_tag_pairs():
         ("\npreamble context\nentry one", ["nlp", "ml_core"]),
         ("\nentry two", ["data"]),
     ]
+
+
+def test_chunk_doc_qa_markdown_route_end_to_end():
+    """A markdown doc flows through the md parser (which glues headings to
+    bodies) and still reaches the markdown qa route via physical-line
+    re-split."""
+    from ragflow_spark.kernels.extract import chunk_doc, extract_doc
+
+    md = "# Question One\nanswer text a\n## Sub\nanswer b\n"
+    out = extract_doc([{"kind": "md", "text": md, "media_ref": "", "offset": 0}])
+    chunks = [c["text"] for c in chunk_doc(out, chunker="qa")]
+    assert chunks == [
+        "Question One\nanswer text a",
+        "Question One\nSub\nanswer b",
+    ]
