@@ -330,3 +330,30 @@ def test_sort_x_c_r_family():
         dict(box("r1c1", x0=72, top=500), rn=0),
     ]
     assert [b["text"] for b in L.sort_r(rows, 10)] == ["r1c1", "r1c2", "r2c1"]
+
+
+def test_construct_table_cjk_hierarchical_and_caption():
+    # CJK table: group header spanning both columns + leaf headers; the
+    # hierarchical concat uses 的 and the caption suffix 来自 (tsr.py:399-501)
+    cells = [
+        box("财务指标", kind="table header", x0=90, x1=280, top=86, bottom=96, lo=0),
+        box("项目", kind="table header", x0=90, x1=180, top=100, bottom=110, lo=0),
+        box("金额", kind="table header", x0=190, x1=280, top=100, bottom=110, lo=0),
+        box("收入", kind="table", x0=90, x1=180, top=114, bottom=124, lo=0),
+        box("1,200", kind="table", x0=190, x1=280, top=114, bottom=124, lo=0),
+    ]
+    txt = construct_table(cells, cap="表1：年度收入")
+    assert txt == "财务指标的项目：收入; 财务指标的金额：1,200\t——来自“表1：年度收入”"
+
+
+def test_construct_table_headerless_two_col_coalesce():
+    # no headers detected (all-text 2-col table): rows join with "：" and
+    # short rows coalesce under 64 chars (tsr.py:475-487 append closure)
+    cells = []
+    for ri, (a, b) in enumerate([("alpha", "beta"), ("gamma", "delta")]):
+        cells.append(box(a, kind="table", x0=90, x1=180, top=100 + ri * 14,
+                         bottom=110 + ri * 14, lo=0))
+        cells.append(box(b, kind="table", x0=190, x1=280, top=100 + ri * 14,
+                         bottom=110 + ri * 14, lo=0))
+    txt = construct_table(cells)
+    assert txt == "alpha：beta\ngamma：delta"
