@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ragflow_spark.datagen import corpus_df
-from ragflow_spark.operators.extract import chunk_stage, extract_spans
 from ragflow_spark.ops import (
     assembly,
     dedup,
@@ -94,13 +93,15 @@ def _interleave_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction + naive chunking over synthetic interleaved docs
-    unioned with the wrapped sf0.001 documents table."""
+    unioned with the wrapped sf0.001 documents table — the fused
+    zero-shuffle path (giant tail routed through the salted stages)."""
+    from ragflow_spark.operators.extract import extract_chunks_fused
+
     sf_dir = "/root/testdata/sf0.001"
     docs = _corpus(spark, sf_dir).unionByName(
         _interleave_documents(spark, sf_dir)
     )
-    spans = extract_spans(docs)
-    return chunk_stage(spans, chunker="naive", chunk_token_num=512)
+    return extract_chunks_fused(docs, chunker="naive", chunk_token_num=512)
 
 
 # ------------------------------------------------------------------ queries

@@ -33,13 +33,11 @@ from ragflow_spark.schemas import PAGE_H, PAGE_W
 
 GARBAGE_KINDS = {"header", "footer", "reference"}
 
-_JUNK_RES = [
-    re.compile(r"^•+$"),
-    re.compile(r"^[0-9]{1,2} / ?[0-9]{1,2}$"),
-    re.compile(r"^[0-9]{1,2} of [0-9]{1,2}$"),
-    re.compile(r"^http://[^ ]{12,}"),
-    re.compile(r"\(cid *: *[0-9]+ *\)"),
-]
+# one alternation (was 5 sequential searches per box — measured hot)
+_JUNK_RE = re.compile(
+    r"^•+$|^[0-9]{1,2} / ?[0-9]{1,2}$|^[0-9]{1,2} of [0-9]{1,2}$"
+    r"|^http://[^ ]{12,}|\(cid *: *[0-9]+ *\)"
+)
 
 _PAGE_DROPPINGS = re.compile(r"[0-9  •一—-]+$")
 _CREDIT = re.compile(r"(数据|资料|图表)*来源[:： ]")
@@ -50,7 +48,7 @@ _ENG_PREFIX = re.compile(r"[0-9a-zA-Z :'.-]{5,}")
 
 
 def is_junk(text: str) -> bool:
-    return any(p.search(text) for p in _JUNK_RES)
+    return bool(_JUNK_RE.search(text))
 
 
 def drop_junk(boxes: list[dict]) -> list[dict]:
