@@ -63,12 +63,19 @@ def main() -> None:
 
         n_native = max(n_extract_docs * 12, 2000)
         corpus = os.path.join(
-            tempfile.gettempdir(), f"bench_corpus_{sf}_{n_native}"
+            tempfile.gettempdir(), f"bench_corpus_v2_{sf}_{n_native}"
         )
         if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-            write_corpus(spark, corpus, count=n_native)
+            # 1 MiB row groups: the row group is the split floor, and the
+            # bench corpus is small enough that 2 MiB groups starve cores
+            write_corpus(spark, corpus, count=n_native,
+                         row_group_bytes=1024 * 1024)
+        # size splits to ~4 tasks/core so local[32] isn't starved at the
+        # bench corpus size (split floor = one parquet row group)
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or os.cpu_count() or 8)
+        target_rows = max(200, n_native // (4 * cpus))
         t0 = time.time()
-        extract_chunks_native(spark, corpus).count()
+        extract_chunks_native(spark, corpus, target_rows=target_rows).count()
         timings["extract_chunks_native"] = round(time.time() - t0, 3)
         extra["native_docs_per_sec"] = round(
             n_native / timings["extract_chunks_native"], 2
