@@ -58,9 +58,11 @@ def _corpus_path(spark: SparkSession, sf_dir: str) -> str:
         from ragflow_spark.datagen import write_corpus
 
         # write to a private dir + atomic rename so concurrent driver
-        # processes can't observe a half-written corpus
+        # processes can't observe a half-written corpus; 256 KiB row groups
+        # keep the native reader's split floor fine-grained at these sizes
         tmp = f"{path}.tmp-{os.getpid()}"
-        write_corpus(spark, tmp, count=count, seed=42)
+        write_corpus(spark, tmp, count=count, seed=42,
+                     row_group_bytes=256 * 1024)
         try:
             os.rename(tmp, path)
         except OSError:
@@ -107,11 +109,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------------------ queries
 
 
+def _target_rows(spark: SparkSession, sf_dir: str) -> int:
+    """~4 native-reader tasks per core at the corpus size (the split floor
+    is one parquet row group)."""
+    count = _SF_COUNT.get(_sf_of(sf_dir), 200)
+    cores = spark.sparkContext.defaultParallelism or 8
+    return max(20, count // (4 * cores))
+
+
 def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # python-native source path (tests assert ≡ the DataFrame path)
     from ragflow_spark.sources.parquet_spans import extract_spans_native
 
-    return extract_spans_native(spark, _corpus_path(spark, sf_dir))
+    return extract_spans_native(
+        spark, _corpus_path(spark, sf_dir),
+        target_rows=_target_rows(spark, sf_dir),
+    )
 
 
 def _mk_chunk(chunker: str, budget: int):
@@ -121,6 +134,7 @@ def _mk_chunk(chunker: str, budget: int):
         return extract_chunks_native(
             spark, _corpus_path(spark, sf_dir), chunker=chunker,
             chunk_token_num=budget,
+            target_rows=_target_rows(spark, sf_dir),
         )
 
     return q
@@ -130,7 +144,10 @@ def _q_chunk_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.sources.parquet_spans import extract_spans_native
 
     return assembly.one_chunk(
-        extract_spans_native(spark, _corpus_path(spark, sf_dir))
+        extract_spans_native(
+            spark, _corpus_path(spark, sf_dir),
+            target_rows=_target_rows(spark, sf_dir),
+        )
     )
 
 

@@ -17,7 +17,7 @@ from ragflow_spark.schemas import PAGE_H, PAGE_W, Geom, pack_geom
 
 # bump when generated content changes for the same (seed, doc_index) —
 # cached corpus directories are keyed on this (entry's _corpus_path)
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5  # v5: 256 KiB row groups in the driver corpus
 
 PROFILES = [
     ("html_boiler", 25),
