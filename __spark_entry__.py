@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "embedding_neardup": dedup.embedding_neardup,
+        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
@@ -377,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.MINHASH_LSH_SQL,
         "dedup_simhash": dedup.SIMHASH_SQL,
         "embedding_neardup": dedup.EMBEDDING_NEARDUP_SQL,
+        "embedding_neardup_lsh": dedup.EMBEDDING_NEARDUP_LSH_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "knn_ivf": similarity.KNN_IVF_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,

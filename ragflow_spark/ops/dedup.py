@@ -413,6 +413,147 @@ def embedding_neardup(
     )
 
 
+# ---------------------------------------- embedding near-dup, LSH prefilter
+# The 10^9-row path the blocked-GEMM docstring defers to: random-hyperplane
+# sign signatures → banded buckets → candidates → exact cosine verify. The
+# driver testdata has no high-cosine pairs, so the query synthesizes a
+# perturbed twin per vector (cos ≈ 0.9999) the prefilter must find; recall
+# at that cosine is 1 - (1 - (1-θ/π)^bits)^bands ≈ 1 - 2e-8 for 8×8, and
+# the verifier is exact, so the result equals the exact threshold pairs
+# (which is what the oracle computes — no LSH in SQL needed).
+
+NEARDUP_LSH_THRESHOLD = 0.98
+_LSH_BANDS = 8
+_LSH_BITS = 8
+
+
+def _hyperplanes(dim: int, n: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from md5 streams."""
+    vals = np.array(
+        [
+            int(hashlib.md5(f"hp-{j}-{i}".encode()).hexdigest()[:8], 16)
+            % 2001
+            - 1000
+            for j in range(n)
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    return vals.reshape(n, dim)
+
+
+def with_perturbed_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ a deterministic near-duplicate twin per vector
+    (twin id = vec_id + 1_000_000; component i nudged by
+    ((vec_id·31 + i) mod 7 − 3)·1e-3)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+    twin = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            idx,
+            lambda x, i: x.cast("double")
+            + ((F.col("vec_id") * 31 + i) % 7 - 3) * 1e-3,
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(twin)
+
+
+def embedding_neardup_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = NEARDUP_LSH_THRESHOLD,
+    bands: int = _LSH_BANDS,
+    bits: int = _LSH_BITS,
+) -> DataFrame:
+    """Sign-LSH prefiltered near-dup: signatures via one Arrow-batched GEMM
+    against deterministic hyperplanes, band-bucket self-join for candidates
+    (join fan-out bounded by bucket occupancy, never O(n²)), exact JVM
+    cosine verification. Scales as O(n·bands + candidate_pairs)."""
+    rows = with_perturbed_twins(spark, sf_dir)
+    nb = bands * bits
+
+    def sig_batches(batches):
+        H = None
+        for pdf in batches:
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if H is None:
+                H = _hyperplanes(mat.shape[1], nb)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0] = 1.0
+            signs = (mat / norms[:, None]) @ H.T > 0
+            keys = np.zeros((len(mat), bands), dtype=np.int64)
+            for b in range(bands):
+                block = signs[:, b * bits:(b + 1) * bits]
+                keys[:, b] = block @ (1 << np.arange(bits))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bands": [list(map(int, k)) for k in keys],
+                }
+            )
+
+    sig = rows.select("vec_id", "embedding").mapInPandas(
+        sig_batches, schema="vec_id long, bands array<long>"
+    )
+    buckets = sig.select(
+        "vec_id", F.posexplode("bands").alias("band", "bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    nvec = rows.select(
+        "vec_id", F.transform("embedding", lambda x: x / norm).alias("v")
+    )
+    va = nvec.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = nvec.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_r4"))
+        .where(F.col("cos_r4") >= threshold)
+    )
+
+
+EMBEDDING_NEARDUP_LSH_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings),
+twin AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         [dv[i] + (((vec_id * 31 + (i - 1)) % 7) - 3) * 1e-3
+          for i in generate_series(1, len(dv))] AS dv
+  FROM base),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+n AS (
+  SELECT vec_id,
+         list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv))) AS v
+  FROM allv)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v), 4) AS cos_r4
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.v, b.v), 4) >= {NEARDUP_LSH_THRESHOLD}
+"""
+
+
 EMBEDDING_NEARDUP_SQL = f"""
 WITH d AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv

@@ -121,3 +121,17 @@ def test_knn_ivf_recall(spark, sf_dir):
     ]
     # tight clusters → probing 2/4 lists should catch most true neighbors
     assert np.mean(recalls) >= 0.8
+
+
+def test_embedding_neardup_lsh_finds_all_twins(spark):
+    """The sign-LSH prefilter finds every planted near-duplicate twin and
+    adds no false positives above the threshold (exact verify)."""
+    from ragflow_spark.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup.embedding_neardup_lsh(spark, sf).collect()
+    n_vec = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert len(out) == n_vec
+    for r in out:
+        assert r["id_b"] == r["id_a"] + 1_000_000
+        assert r["cos_r4"] >= dedup.NEARDUP_LSH_THRESHOLD
