@@ -27,7 +27,11 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="parquet dir of (doc_id, spans[, n_spans])")
     ap.add_argument("--output", required=True, help="chunk sink parquet dir")
     ap.add_argument("--checkpoint", default=None, help="snapshot/lineage base dir (enables resume)")
-    ap.add_argument("--chunker", default="naive", choices=["naive", "book", "paper", "laws", "qa"])
+    # keep in sync with ragflow_spark.kernels.extract.CHUNKERS (no import
+    # here: the engine resolves from the --py-files zip after session build)
+    ap.add_argument("--chunker", default="naive",
+                    choices=["naive", "book", "paper", "laws", "qa",
+                             "manual", "email"])
     ap.add_argument("--chunk-tokens", type=int, default=512)
     ap.add_argument("--native-reader", action="store_true",
                     help="python-native parquet source (fast path)")
