@@ -232,7 +232,9 @@ def extract_chunks_fused(
                     "chunk_seq": [c["chunk_seq"] for c in rows],
                     "text": [c["text"] for c in rows],
                     "token_count": [c["token_count"] for c in rows],
-                    "media_refs": [c["media_refs"] for c in rows],
+                    "media_refs": pd.Series(
+                            [c["media_refs"] for c in rows], dtype=object
+                        ),
                 }
             )
 
@@ -286,7 +288,11 @@ def chunk_stage(
                 "chunk_seq": [c["chunk_seq"] for c in chunks],
                 "text": [c["text"] for c in chunks],
                 "token_count": [c["token_count"] for c in chunks],
-                "media_refs": [c["media_refs"] for c in chunks],
+                # explicit object dtype: an empty batch would otherwise
+                # infer float64, which Arrow can't cast to array<string>
+                "media_refs": pd.Series(
+                    [c["media_refs"] for c in chunks], dtype=object
+                ),
             }
         )
 

@@ -198,7 +198,9 @@ def extract_chunks_native(
                         "chunk_seq": [c["chunk_seq"] for c in rows],
                         "text": [c["text"] for c in rows],
                         "token_count": [c["token_count"] for c in rows],
-                        "media_refs": [c["media_refs"] for c in rows],
+                        "media_refs": pd.Series(
+                            [c["media_refs"] for c in rows], dtype=object
+                        ),
                     }
                 )
 

@@ -178,3 +178,20 @@ def test_sink_portable_commit_protocols(spark, corpus_path, tmp_path_factory):
         for r in spark.read.parquet(out_direct).collect()
     }
     assert again == a
+
+
+@pytest.mark.parametrize("chunker", ["book", "manual", "qa"])
+def test_chunks_native_equals_fused_other_chunkers(spark, corpus_path, chunker):
+    native = {
+        (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or []))
+        for r in extract_chunks_native(
+            spark, corpus_path, chunker=chunker, giant_threshold=120
+        ).collect()
+    }
+    fused = {
+        (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or []))
+        for r in extract_chunks_fused(
+            spark.read.parquet(corpus_path), chunker=chunker
+        ).collect()
+    }
+    assert native == fused and len(native) > 0
