@@ -44,8 +44,15 @@ def main() -> None:
     subset = [q for q in args.queries.split(",") if q] or list(qs)
     timings: dict[str, float] = {}
     n_extract_docs = entrymod._SF_COUNT.get(sf, 200)
-    # untimed warmup: materialize the corpus + spawn the worker pool
+    # untimed warmup: materialize the corpus + pre-fork EVERY worker slot
+    # (the count() alone touches only a few partitions' worth of workers)
     entrymod._corpus(spark, args.sf_dir).count()
+    import pandas as _pd
+
+    ncores = args.cpus or (os.cpu_count() or 8)
+    spark.range(0, 4 * ncores, 1, 4 * ncores).mapInPandas(
+        lambda it: (_pd.DataFrame({"n": [len(p)]}) for p in it), "n long"
+    ).count()
     for name in subset:
         fn = qs[name]
         t0 = time.time()
