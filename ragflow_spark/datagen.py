@@ -1,9 +1,9 @@
 """Deterministic synthetic ``docs_interleaved`` corpus (FIXTURES.md §1).
 
 Every document is a pure function of ``(seed, doc_index)`` — no wall clock, no
-global RNG. Profiles mirror the fixture spec: html_boiler 25%, pdf_single_col
+global RNG. Profiles mirror the fixture spec: html_boiler 20%, pdf_single_col
 20%, pdf_two_col 15%, pdf_tablefig 15%, book_bulleted 10%, paper_shape 10%,
-giant_doc 5%.
+plain_formats 5%, giant_doc 5%.
 
 The generator runs both on the driver (tiny pytest corpora) and inside
 mapInPandas partitions (bench corpora) — it only needs the doc index range.
@@ -17,15 +17,16 @@ from ragflow_spark.schemas import PAGE_H, PAGE_W, Geom, pack_geom
 
 # bump when generated content changes for the same (seed, doc_index) —
 # cached corpus directories are keyed on this (entry's _corpus_path)
-CORPUS_VERSION = 5  # v5: 256 KiB row groups in the driver corpus
+CORPUS_VERSION = 6  # v6: plain_formats profile (md/txt/json spans)
 
 PROFILES = [
-    ("html_boiler", 25),
+    ("html_boiler", 20),
     ("pdf_single_col", 20),
     ("pdf_two_col", 15),
     ("pdf_tablefig", 15),
     ("book_bulleted", 10),
     ("paper_shape", 10),
+    ("plain_formats", 5),
     ("giant_doc", 5),
 ]
 _CUM = []
@@ -275,6 +276,38 @@ def _gen_paper_shape(doc_id: str, r: random.Random) -> list[dict]:
     return spans
 
 
+def _gen_plain_formats(doc_id: str, r: random.Random) -> list[dict]:
+    """Interleaved markdown + txt + json spans: exercises parse_markdown
+    (headings, tables) and parse_json on the distributed strip paths, not
+    just in unit tests."""
+    import json as _json
+
+    md = (
+        f"# {_sentence(r, 3, 5, end='')}\n"
+        f"{_sentence(r, 10, 16)}\n\n"
+        f"## {_sentence(r, 2, 4, end='')}\n"
+        f"{_sentence(r, 8, 14)}\n"
+        f"| {r.choice(WORDS)} | {r.choice(WORDS)} |\n|---|---|\n"
+        f"| {r.randint(1, 99)} | {r.randint(1, 99)} |\n"
+    )
+    txt = "\n".join(_sentence(r, 8, 14) for _ in range(r.randint(2, 4)))
+    js = _json.dumps(
+        {
+            "title": _sentence(r, 2, 4, end=""),
+            "items": [
+                {"name": r.choice(WORDS), "score": r.randint(0, 100)}
+                for _ in range(r.randint(2, 5))
+            ],
+            "summary": _sentence(r, 10, 16),
+        }
+    )
+    return [
+        _span("md", md, "", 0),
+        _span("txt", txt, "", 1),
+        _span("json", js, "", 2),
+    ]
+
+
 def _gen_giant_doc(doc_id: str, r: random.Random, span_factor: int = 100) -> list[dict]:
     # heavy tail: 100-1000x median span count (FIXTURES.md: giant_doc)
     pages = max(2, span_factor // 30)
@@ -298,6 +331,8 @@ def gen_doc(seed: int, doc_index: int, giant_factor: int = 100) -> dict:
         spans = _gen_book_bulleted(doc_id, r)
     elif profile == "paper_shape":
         spans = _gen_paper_shape(doc_id, r)
+    elif profile == "plain_formats":
+        spans = _gen_plain_formats(doc_id, r)
     else:  # giant_doc
         spans = _gen_giant_doc(doc_id, r, span_factor=giant_factor)
     return {"doc_id": doc_id, "spans": spans}

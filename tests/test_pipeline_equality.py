@@ -107,4 +107,4 @@ def test_all_profiles_nonempty(spark, docs):
         by_profile.setdefault(profile_of(idx), []).append(len(spans))
     for prof, counts in by_profile.items():
         assert all(c > 0 for c in counts), f"profile {prof} produced empty docs"
-    assert len(by_profile) == 7
+    assert len(by_profile) == 8

@@ -143,3 +143,17 @@ def test_manifest_crash_tolerance_and_metric_dedup(spark, docs, tmp_path_factory
     run._append_metrics(sdir, res.snapshot_id, "demo", "doc_id", "__error__", "c1")
     m2 = run.metrics().where(F.col("stage") == "demo")
     assert m2.agg(F.sum("span_count")).first()[0] == n
+
+
+def test_iceberg_gate_and_fallback(spark, docs):
+    """The Iceberg sink is availability-gated: in this container the
+    runtime is absent, iceberg_available is False, write_snapshot refuses
+    with a pointer to the parquet snapshot protocol (which the resume
+    tests above prove equivalent)."""
+    import pytest as _pytest
+
+    from ragflow_spark.plans import iceberg
+
+    assert iceberg.iceberg_available(spark) is False
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        iceberg.write_snapshot(spark, docs, "local.db.t")
