@@ -81,3 +81,50 @@ def test_mixed_geometry_and_plain_spans():
     assert "geo line" in texts and "plain line" in texts
     figs = [o for o in out if o["kind"] == "figure"]
     assert len(figs) == 1 and figs[0]["media_ref"].startswith("blob://")
+
+
+def test_round2_kernels_degrade_gracefully():
+    """Round-2 kernels on pathological inputs: empty/whitespace cells,
+    zero-area boxes, table-header-only tables, all-scrap pages."""
+    from ragflow_spark.kernels.assemble import construct_table
+    from ragflow_spark.kernels.chunkers import (
+        manual_chunk,
+        qa_pairs_markdown,
+        qa_pairs_pdf,
+        qa_pairs_tabular,
+        tag_pairs,
+    )
+    from ragflow_spark.kernels.layout import filter_scraps, layouts_cleanup
+
+    def bx(text, kind="table", x0=90.0, x1=90.0, top=100.0, bottom=100.0, lo=0):
+        return {"kind": kind, "text": text, "media_ref": "", "pn": 0,
+                "x0": x0, "x1": x1, "top": top, "bottom": bottom, "lo": lo}
+
+    assert construct_table([]) == ""
+    assert construct_table([bx("  ")]) == ""
+    # zero-area cells: thresholds floor at 1.0, no div-by-zero
+    assert isinstance(construct_table([bx("a"), bx("b", top=100.5)]), str)
+    # header-only table: header rows suppressed, no body rows -> desc empty
+    hdr_only = [bx("h1", kind="table header"), bx("h2", kind="table header", x0=200, x1=290)]
+    assert isinstance(construct_table(hdr_only), str)
+    assert filter_scraps([]) == []
+    assert layouts_cleanup([]) == []
+    assert qa_pairs_tabular([]) == []
+    assert qa_pairs_markdown([]) == []
+    assert qa_pairs_pdf([]) == []
+    assert tag_pairs([]) == []
+    assert manual_chunk([]) == []
+
+
+def test_extract_doc_malformed_media_spans():
+    """Figure spans with malformed blob refs and empty text pass through
+    without crashing the doc."""
+    from ragflow_spark.kernels.extract import extract_doc
+
+    spans = [
+        {"kind": "figure", "text": "", "media_ref": "blob://broken", "offset": 0},
+        {"kind": "text", "text": "real body text.", "media_ref": "", "offset": 1},
+        {"kind": "table header", "text": "h", "media_ref": "", "offset": 2},
+    ]
+    out = extract_doc(spans)
+    assert any(o["text"] == "real body text." for o in out)
