@@ -596,10 +596,9 @@ def assemble(boxes: list[dict], html_tables: bool = False) -> tuple[list[dict], 
         # caption concatenation mirrors the reference's accumulating `cap`
         # (construct_table pops caption boxes into one string, tsr.py:137-146)
         cap = "".join(tbl_caps.get(k, []))
-        body = construct_table(bxs, cap=cap, html=html_tables)
-        if not body:
+        txt = construct_table(bxs, cap=cap, html=html_tables)
+        if not txt:
             continue
-        txt = body
         first = min(bxs, key=lambda b: (b["pn"] * PAGE_H + b["top"], b["x0"]))
         media.append(
             {

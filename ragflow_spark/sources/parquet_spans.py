@@ -268,11 +268,11 @@ def _commit_table(fs, path: str, tbl, compression: str, rename: bool) -> None:
             pq.write_table(tbl, f, compression=compression)
 
 
-def _committed_rows(fs, path: str, rename: bool) -> int | None:
+def _committed_rows(fs, path: str) -> int | None:
     """Row count of a committed split file, None if absent/unreadable.
-    Under the direct-write protocol a truncated object can only exist on
-    filesystems without atomic visibility, so footer validation (rather
-    than bare existence) is the commit check."""
+    Footer validation (rather than bare existence) is the commit check —
+    a truncated object can only exist on filesystems without atomic
+    visibility, and it must read as not-committed."""
     from pyarrow import fs as pafs
 
     try:
@@ -336,7 +336,7 @@ def extract_chunks_native_to_parquet(
                     f"part-{os.path.basename(row.path)}-{row.rg_start}-{row.rg_end}.parquet"
                 )
                 if resume:
-                    nrows = _committed_rows(fs, fname, rename)
+                    nrows = _committed_rows(fs, fname)
                     if nrows is not None:
                         # split already committed; lineage from footer only
                         yield pd.DataFrame(
