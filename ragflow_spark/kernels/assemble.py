@@ -242,6 +242,8 @@ def _relocate_singleton_cols(grid: list[list[list[int]]], cells: list[dict]) -> 
                 for a in grid[i][j + 1]:
                     right_gap = min(right_gap, cells[a]["x0"] - bx["x1"])
         tgt = j - 1 if left_gap < right_gap else j + 1
+        for a in grid[ii][j]:
+            cells[a]["cn"] = tgt  # retag before the drop shifts indices
         grid[ii][tgt].extend(grid[ii][j])
         for row in grid:
             row.pop(j)
@@ -279,6 +281,8 @@ def _relocate_singleton_rows(grid: list[list[list[int]]], cells: list[dict]) -> 
                 for a in grid[i + 1][j]:
                     down_gap = min(down_gap, cells[a]["top"] - bx["bottom"])
         tgt = i - 1 if up_gap < down_gap else i + 1
+        for a in grid[i][jj]:
+            cells[a]["rn"] = tgt  # retag before the drop shifts indices
         grid[tgt][jj].extend(grid[i][jj])
         grid.pop(i)
         for row in grid:
@@ -352,8 +356,13 @@ def _apply_spans(
             <= (rtop[i] + rbtm[i]) / 2
             <= c["pn"] * PAGE_H + c["bottom"]
         ]
-        c["cspan"] = sorted(set(ccols) | {c["cn"]})
-        c["rspan"] = sorted(set(crows) | {c["rn"]})
+        # clamp to current grid bounds (relocation may have shrunk it)
+        c["cspan"] = sorted(
+            x for x in (set(ccols) | {c["cn"]}) if 0 <= x < n_cols
+        ) or [min(c["cn"], n_cols - 1)]
+        c["rspan"] = sorted(
+            x for x in (set(crows) | {c["rn"]}) if 0 <= x < n_rows
+        ) or [min(c["rn"], n_rows - 1)]
 
     out: list[list[list[int] | None]] = [list(row) for row in grid]
     for i in range(n_rows):
