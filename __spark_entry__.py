@@ -103,7 +103,9 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = _corpus(spark, sf_dir).unionByName(
         _interleave_documents(spark, sf_dir)
     )
-    return extract_chunks_fused(docs, chunker="naive", chunk_token_num=512)
+    return _scalarize_media(
+        extract_chunks_fused(docs, chunker="naive", chunk_token_num=512)
+    )
 
 
 # ------------------------------------------------------------------ queries
@@ -127,15 +129,29 @@ def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scalarize_media(df: DataFrame) -> DataFrame:
+    """Driver-facing projection: the driver's result canonicalizer sorts the
+    raw pandas frame by every column, and pandas cannot sort a list-valued
+    column (``TypeError: unhashable type: 'list'`` — the round-2 regression).
+    Join the media_refs array into one comma-separated scalar for the query
+    surface; the array type stays on CHUNKS_SCHEMA for pipeline/sink/tests."""
+    return df.withColumn(
+        "media_refs",
+        F.array_join(
+            F.coalesce("media_refs", F.array().cast("array<string>")), ","
+        ),
+    )
+
+
 def _mk_chunk(chunker: str, budget: int):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ragflow_spark.sources.parquet_spans import extract_chunks_native
 
-        return extract_chunks_native(
+        return _scalarize_media(extract_chunks_native(
             spark, _corpus_path(spark, sf_dir), chunker=chunker,
             chunk_token_num=budget,
             target_rows=_target_rows(spark, sf_dir),
-        )
+        ))
 
     return q
 
@@ -262,14 +278,16 @@ j AS (
 SELECT 'tag-' || CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(0 AS INTEGER) AS chunk_seq,
        chr(10) || l1 || chr(10) || l2c AS content,
-       -- python: ".x".strip() is truthy, so the second tag is always
-       -- present as t2_x (t2 possibly empty); t1 drops when empty
-       (CASE WHEN t1 <> '' THEN t1 || ',' ELSE '' END) || t2 || '_x' AS tag_kwd
+       -- general '.'->'_' transform on EVERY tag (tag_pairs replaces all
+       -- dots, not just the planted '.x' suffix); python ".x".strip() is
+       -- truthy so the second tag is always present; t1 drops when empty
+       (CASE WHEN t1 <> '' THEN replace(t1, '.', '_') || ',' ELSE '' END)
+         || replace(t2 || '.x', '.', '_') AS tag_kwd
 FROM j
 UNION ALL
 SELECT 'tag-' || CAST(doc_id AS VARCHAR), CAST(1 AS INTEGER),
        chr(10) || l3c,
-       t3
+       replace(t3, '.', '_')
 FROM j
 """
 

@@ -65,12 +65,13 @@ def main() -> None:
     if not args.queries:
         import tempfile
 
-        from ragflow_spark.datagen import write_corpus
+        from ragflow_spark.datagen import CORPUS_VERSION, write_corpus
         from ragflow_spark.sources.parquet_spans import extract_chunks_native
 
         n_native = max(n_extract_docs * 12, 2000)
         corpus = os.path.join(
-            tempfile.gettempdir(), f"bench_corpus_v2_{sf}_{n_native}"
+            tempfile.gettempdir(),
+            f"bench_corpus_v{CORPUS_VERSION}_{sf}_{n_native}",
         )
         if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
             # 1 MiB row groups: the row group is the split floor, and the

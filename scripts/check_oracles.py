@@ -31,11 +31,28 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's canonicalizer EXACTLY: sort the RAW frame by all
+    columns (no stringification first). A list/dict-valued column raises
+    TypeError here just like it does in the driver — that divergence is how
+    the round-2 media_refs regression shipped green locally."""
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+_SCALAR_ARROW_PREFIXES = (
+    "int", "uint", "float", "double", "bool", "string", "large_string",
+    "date", "timestamp", "decimal", "halffloat",
+)
+
+
+def nonscalar_cols(tbl) -> list[str]:
+    """Arrow columns the driver cannot sort/hash (array/map/struct/binary)."""
+    bad = []
+    for f in tbl.schema:
+        t = str(f.type)
+        if not t.startswith(_SCALAR_ARROW_PREFIXES):
+            bad.append(f"{f.name}:{t}")
+    return bad
 
 
 def arrow_types(tbl) -> dict[str, str]:
@@ -104,6 +121,18 @@ def main() -> int:
             failed.append(name)
             continue
         dt = time.time() - t0
+        bad = nonscalar_cols(sarrow)
+        if bad:
+            print(f"FAIL {name}: non-scalar output columns {bad} "
+                  "(driver canonicalizer cannot sort these)")
+            failed.append(name)
+            continue
+        try:
+            canon(sdf)
+        except TypeError as e:
+            print(f"FAIL {name}: driver-style raw sort raises {e}")
+            failed.append(name)
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows={len(sdf)} ({dt:.1f}s) [rows-only]")
             if len(sdf) == 0:

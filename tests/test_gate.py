@@ -1,0 +1,60 @@
+"""The local correctness gate must replicate the driver's canonicalizer:
+sort the RAW pandas frame (no stringification) and reject non-scalar output
+columns. Round 2 shipped a list-valued `media_refs` column that the local
+gate canonicalized happily while the driver crashed — these tests pin the
+gate to the driver's behavior so that class of bug cannot ship green again.
+"""
+
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo/scripts")
+
+from check_oracles import canon, nonscalar_cols  # noqa: E402
+
+
+def test_canon_raises_on_list_column():
+    df = pd.DataFrame({"a": [1, 2], "refs": [["x"], ["y", "z"]]})
+    with pytest.raises(TypeError):
+        canon(df)
+
+
+def test_canon_sorts_raw_scalars():
+    df = pd.DataFrame({"b": [2, 1], "a": ["y", "x"]})
+    out = canon(df)
+    assert list(out.columns) == ["a", "b"]
+    assert out["a"].tolist() == ["x", "y"]
+
+
+def test_nonscalar_cols_flags_arrays_and_structs():
+    tbl = pa.table(
+        {
+            "ok_str": pa.array(["a"]),
+            "ok_int": pa.array([1]),
+            "bad_list": pa.array([["x"]]),
+            "bad_struct": pa.array([{"k": 1}]),
+        }
+    )
+    bad = nonscalar_cols(tbl)
+    assert any(b.startswith("bad_list:") for b in bad)
+    assert any(b.startswith("bad_struct:") for b in bad)
+    assert not any(b.startswith("ok_") for b in bad)
+
+
+def test_driver_facing_chunk_queries_have_no_list_columns(spark):
+    """Every queries() output schema must be scalar-typed (the driver sorts
+    raw frames). Checks schemas only — no execution — so it covers all 39
+    entries cheaply."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            assert f.dataType.typeName() in {
+                "string", "integer", "long", "double", "float", "boolean",
+                "date", "timestamp", "decimal", "short", "byte",
+            }, f"{name}.{f.name} is non-scalar: {f.dataType.simpleString()}"
