@@ -319,6 +319,297 @@ FROM built
 """
 
 
+def _q_chunk_naive_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """naive_merge greedy token-budget fold (kernels/chunkers.py naive_merge,
+    rag/nlp/__init__.py:521-563) bit-checked against a DuckDB recursive-CTE
+    oracle: documents.text is cut into 5-word sections (each ending '\\n' so
+    the token counter is additive across section joins) and folded at budget
+    16 — a new chunk starts once the accumulated count strictly exceeds the
+    budget. Exercises the same kernel the six corpus chunker queries use."""
+    import pandas as pd
+
+    from ragflow_spark.functions.tokens import num_tokens
+    from ragflow_spark.kernels.chunkers import naive_merge
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, texts, toks = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split()
+                sections = [
+                    " ".join(words[i:i + 5]) + "\n"
+                    for i in range(0, len(words), 5)
+                ]
+                for i, ck in enumerate(
+                    naive_merge(sections, chunk_token_num=16, delimiter="\n")
+                ):
+                    ids.append(f"nv-{doc_id}")
+                    seqs.append(i)
+                    texts.append(ck)
+                    toks.append(num_tokens(ck))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_seq": seqs,
+                    "text": texts,
+                    "token_count": toks,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, chunk_seq int, text string, token_count int",
+    )
+
+
+_CHUNK_NAIVE_DOCS_SQL = f"""
+WITH RECURSIVE
+w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+secs AS (
+  SELECT doc_id, g.s AS seq,
+         coalesce(array_to_string(words[(g.s - 1) * 5 + 1 : g.s * 5], ' '), '')
+           || chr(10) AS sect
+  FROM w, (SELECT unnest(generate_series(1, 20)) AS s) g
+  WHERE (g.s - 1) * 5 < len(words)),
+tok AS (
+  SELECT doc_id, seq, sect,
+         CAST({_TOK.format(c="sect")} AS INTEGER) AS tk
+  FROM secs),
+fold AS (
+  SELECT doc_id, seq, sect, tk,
+         0 AS chunk_seq, tk AS acc
+  FROM tok WHERE seq = 1
+  UNION ALL
+  SELECT t.doc_id, t.seq, t.sect, t.tk,
+         CASE WHEN f.acc > 16 THEN f.chunk_seq + 1 ELSE f.chunk_seq END,
+         CASE WHEN f.acc > 16 THEN t.tk ELSE f.acc + t.tk END
+  FROM fold f JOIN tok t ON t.doc_id = f.doc_id AND t.seq = f.seq + 1)
+SELECT 'nv-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       chunk_seq,
+       string_agg(sect, '' ORDER BY seq) AS text,
+       -- sections end with a whitespace char, so token classes never span a
+       -- join and the per-section counts are additive
+       CAST(SUM(tk) AS INTEGER) AS token_count
+FROM fold
+GROUP BY doc_id, chunk_seq
+"""
+
+
+def _q_chunk_naive_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """naive_merge with overlapped_percent=20 (rag/nlp/__init__.py:538-541):
+    a chunk closes once its accumulated token count strictly exceeds
+    budget*keep (keep=0.8), and the next chunk is seeded with the character
+    tail ``prev[int(len(prev)*keep):]`` of the closed chunk. The DuckDB
+    oracle folds the same state (chunk_seq, acc, ctext) through a recursive
+    CTE — the overlap prefix does NOT count toward the budget (the kernel
+    accumulates section token counts, not re-counts of the seeded text),
+    while the reported token_count is over the final text including it."""
+    import pandas as pd
+
+    from ragflow_spark.functions.tokens import num_tokens
+    from ragflow_spark.kernels.chunkers import naive_merge
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, texts, toks = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split()
+                sections = [
+                    " ".join(words[i:i + 5]) + "\n"
+                    for i in range(0, len(words), 5)
+                ]
+                for i, ck in enumerate(
+                    naive_merge(sections, chunk_token_num=16,
+                                delimiter="\n", overlapped_percent=20)
+                ):
+                    ids.append(f"ov-{doc_id}")
+                    seqs.append(i)
+                    texts.append(ck)
+                    toks.append(num_tokens(ck))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_seq": seqs,
+                    "text": texts,
+                    "token_count": toks,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, chunk_seq int, text string, token_count int",
+    )
+
+
+_CHUNK_NAIVE_OVERLAP_DOCS_SQL = f"""
+WITH RECURSIVE
+w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+secs AS (
+  SELECT doc_id, g.s AS seq,
+         coalesce(array_to_string(words[(g.s - 1) * 5 + 1 : g.s * 5], ' '), '')
+           || chr(10) AS sect
+  FROM w, (SELECT unnest(generate_series(1, 20)) AS s) g
+  WHERE (g.s - 1) * 5 < len(words)),
+tok AS (
+  SELECT doc_id, seq, sect,
+         CAST({_TOK.format(c="sect")} AS INTEGER) AS tk
+  FROM secs),
+fold AS (
+  SELECT doc_id, seq, 0 AS chunk_seq, tk AS acc, sect AS ctext
+  FROM tok WHERE seq = 1
+  UNION ALL
+  SELECT t.doc_id, t.seq,
+         CASE WHEN f.acc > 16 * 0.8 THEN f.chunk_seq + 1
+              ELSE f.chunk_seq END,
+         CASE WHEN f.acc > 16 * 0.8 THEN t.tk ELSE f.acc + t.tk END,
+         CASE WHEN f.acc > 16 * 0.8
+              -- python int() truncates: floor, not DuckDB CAST-rounding
+              THEN substring(f.ctext,
+                             CAST(floor(length(f.ctext) * 0.8) AS INTEGER) + 1)
+                   || t.sect
+              ELSE f.ctext || t.sect END
+  FROM fold f JOIN tok t ON t.doc_id = f.doc_id AND t.seq = f.seq + 1)
+SELECT 'ov-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       chunk_seq,
+       ctext AS text,
+       CAST({_TOK.format(c="ctext")} AS INTEGER) AS token_count
+FROM fold
+QUALIFY row_number() OVER (PARTITION BY doc_id, chunk_seq
+                           ORDER BY seq DESC) = 1
+"""
+
+
+def _q_chunk_hier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hierarchical_merge (kernels/chunkers.py, rag/nlp/__init__.py:431-518)
+    bit-checked end-to-end: per document, four pre-heading body sections
+    (each a 2-word slice repeated x24 so the 218-token singleton-coalesce
+    budget actually resets on longer docs), one 'Chapter 1' heading (EN
+    dialect level 4), and up to two post-heading bodies. Semantics under
+    bull=3/depth=5: pre-heading bodies have no ancestor -> singleton chunks
+    that greedily coalesce under 218 tokens; post-heading bodies pull the
+    heading as their title chain -> one '[heading\\nbody]' chunk each; the
+    heading itself is consumed and never starts a chunk. Chunks render
+    exactly like book_chunk/laws_chunk: '\\n'.join."""
+    import pandas as pd
+
+    from ragflow_spark.functions.tokens import num_tokens
+    from ragflow_spark.kernels.chunkers import hierarchical_merge
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, texts, toks = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split()
+                secs = [
+                    (" ".join(words[2 * i:2 * i + 2] * 24), "text")
+                    for i in range(4)
+                ]
+                secs.append(("Chapter 1", "text"))
+                secs.append((" ".join(words[8:11]), "text"))
+                secs.append((" ".join(words[11:14]), "text"))
+                chunks = [
+                    "\n".join(ck) for ck in hierarchical_merge(3, secs, 5)
+                ]
+                for i, ck in enumerate(chunks):
+                    ids.append(f"hi-{doc_id}")
+                    seqs.append(i)
+                    texts.append(ck)
+                    toks.append(num_tokens(ck))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_seq": seqs,
+                    "text": texts,
+                    "token_count": toks,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, chunk_seq int, text string, token_count int",
+    )
+
+
+_CHUNK_HIER_DOCS_SQL = f"""
+WITH RECURSIVE
+w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+sing AS (
+  -- python " ".join(words[2i:2i+2] * 24) == rtrim(repeat(slice || ' ', 24))
+  SELECT doc_id, g.i AS seq,
+         rtrim(repeat(coalesce(
+             array_to_string(words[2 * (g.i - 1) + 1 : 2 * g.i], ' '), '')
+           || ' ', 24), ' ') AS s
+  FROM w, (SELECT unnest(generate_series(1, 4)) AS i) g),
+tok AS (
+  SELECT doc_id, seq, s,
+         CAST({_TOK.format(c="s")} AS INTEGER) AS n
+  FROM sing WHERE length(trim(s)) > 1),
+fold AS (
+  -- singleton coalesce (rag/nlp/__init__.py:503-517): pack while the
+  -- accumulated token count stays under 218, else start a new group
+  SELECT doc_id, seq, 0 AS grp, n AS used, s AS gtext
+  FROM tok WHERE seq = 1
+  UNION ALL
+  SELECT t.doc_id, t.seq,
+         CASE WHEN t.n + f.used < 218 THEN f.grp ELSE f.grp + 1 END,
+         CASE WHEN t.n + f.used < 218 THEN f.used + t.n ELSE t.n END,
+         CASE WHEN t.n + f.used < 218 THEN f.gtext || chr(10) || t.s
+              ELSE t.s END
+  FROM fold f JOIN tok t ON t.doc_id = f.doc_id AND t.seq = f.seq + 1),
+groups AS (
+  SELECT doc_id, grp, gtext
+  FROM fold
+  QUALIFY row_number() OVER (PARTITION BY doc_id, grp ORDER BY seq DESC) = 1),
+maxg AS (SELECT doc_id, max(grp) AS mg FROM groups GROUP BY doc_id),
+bodies AS (
+  SELECT doc_id, b.k,
+         'Chapter 1' || chr(10) ||
+           CASE WHEN b.k = 1
+                THEN coalesce(array_to_string(words[9:11], ' '), '')
+                ELSE coalesce(array_to_string(words[12:14], ' '), '')
+           END AS btext,
+         CASE WHEN b.k = 1
+              THEN coalesce(array_to_string(words[9:11], ' '), '')
+              ELSE coalesce(array_to_string(words[12:14], ' '), '')
+         END AS raw
+  FROM w, (SELECT unnest(generate_series(1, 2)) AS k) b),
+united AS (
+  SELECT doc_id, grp AS ord, gtext AS text FROM groups
+  UNION ALL
+  SELECT b.doc_id, m.mg + b.k, b.btext
+  FROM bodies b JOIN maxg m ON m.doc_id = b.doc_id
+  -- sections of <=1 stripped chars are dropped before chunking
+  WHERE length(trim(b.raw)) > 1)
+SELECT 'hi-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+            AS INTEGER) AS chunk_seq,
+       text,
+       CAST({_TOK.format(c="text")} AS INTEGER) AS token_count
+FROM united
+"""
+
+
 def _q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_inventory(spark, sf_dir)
 
@@ -346,6 +637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tag": _q_chunk_tag,
         "chunk_qa": _q_chunk_qa,
         "chunk_one": _q_chunk_one,
+        "chunk_naive_docs": _q_chunk_naive_docs,
+        "chunk_naive_overlap_docs": _q_chunk_naive_overlap_docs,
+        "chunk_hier_docs": _q_chunk_hier_docs,
         "table_rows_to_docs": assembly.table_rows_to_docs,
         # text analysis (SQL-oracled)
         "token_stats": text.token_stats,
@@ -407,6 +701,9 @@ def oracle_sql() -> dict[str, str]:
         "tag_aggs": relational.TAG_AGGS_SQL,
         "chunk_qa": _CHUNK_QA_SQL,
         "chunk_tag": _CHUNK_TAG_SQL,
+        "chunk_naive_docs": _CHUNK_NAIVE_DOCS_SQL,
+        "chunk_naive_overlap_docs": _CHUNK_NAIVE_OVERLAP_DOCS_SQL,
+        "chunk_hier_docs": _CHUNK_HIER_DOCS_SQL,
         "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
         "term_idf": retrieval.TERM_IDF_SQL,
         "term_weights": retrieval.TERM_WEIGHTS_SQL,
