@@ -119,7 +119,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     PER DOCUMENT, so it must never be broadcast (corpus-sized at 100 TB);
     AQE turns these into broadcasts only when cnt is actually small."""
     docs = load(spark, sf_dir, "documents")
-    ds = _shingles(docs).cache()
+    # no corpus-wide cache: the distinct's shuffle is identical under every
+    # consumer, so ReuseExchange shares one materialization of the shingle
+    # table without pinning it in executor memory (100 TB hygiene)
+    ds = _shingles(docs)
     cnt = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -156,7 +159,8 @@ def minhash_signatures(ds: DataFrame, k: int = MINHASH_K) -> DataFrame:
     permutations g_i = h1 XOR rotl(h2, i) — bitwise, so ANSI-safe, and
     ~30x less hash work than k independent xxhash64 calls. One groupBy
     with map-side partial aggregation → a single cheap shuffle of k longs
-    per doc."""
+    per doc. The per-doc shingle count ``n`` rides the same aggregation
+    (one pass instead of a second count-shuffle for the Jaccard verifier)."""
     h1 = F.xxhash64(F.col("sh"))
     h2 = F.xxhash64(F.lit(1), F.col("sh"))
 
@@ -166,7 +170,9 @@ def minhash_signatures(ds: DataFrame, k: int = MINHASH_K) -> DataFrame:
         )
         return F.min(h1.bitwiseXOR(rot)).alias(f"h{i}")
 
-    return ds.groupBy("doc_id").agg(*[perm(i) for i in range(k)])
+    return ds.groupBy("doc_id").agg(
+        F.count("*").alias("n"), *[perm(i) for i in range(k)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -181,7 +187,9 @@ def minhash_lsh_pairs(
     group — cumulative ≈1.0 for the j≈0.99 planted dups; the verifier keeps
     precision exact."""
     docs = load(spark, sf_dir, "documents")
-    ds = _shingles(docs).cache()
+    # no corpus-wide cache: ReuseExchange shares the shingle distinct's
+    # shuffle across the signature, verify and count consumers
+    ds = _shingles(docs)
     sig = minhash_signatures(ds, k)
     r = k // bands
     band_structs = F.array(
@@ -196,14 +204,30 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    ba = buckets.alias("x")
-    bb = buckets.alias("y")
-    cand = (
-        ba.join(bb, ["band", "bh"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    # candidate pairs via bucket groupBy + in-array pair expansion, NOT a
+    # buckets self-join: a self-join recomputes the whole signature
+    # aggregation on both sides (AQE's broadcast-side subtrees defeat
+    # exchange reuse — measured 2x sig cost), while the groupBy shuffles the
+    # same (band, bh, doc_id) volume exactly once. Within a bucket the pair
+    # expansion is a JVM array transform; bucket fan-out stays bounded by
+    # band-hash selectivity, and AQE skew-split covers a degenerate bucket.
+    grouped = buckets.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    cand = (
+        grouped.where(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # verify candidates with exact jaccard (shingle join restricted to pairs)
@@ -215,9 +239,9 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    cnt = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
-    na = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # per-doc shingle counts ride the signature aggregation (no extra pass)
+    na = sig.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     # cnt is per-doc (corpus-sized): shuffle join, never a forced broadcast
     return (
         inter.join(na, "doc_a")
