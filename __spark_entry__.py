@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_laws": _mk_chunk("laws", 512),
         "chunk_manual": _mk_chunk("manual", 512),
         "chunk_email": _mk_chunk("email", 128),
+        "chunk_presentation": _mk_chunk("presentation", 512),
         "chunk_tag": _q_chunk_tag,
         "chunk_qa": _q_chunk_qa,
         "chunk_one": _q_chunk_one,

@@ -193,15 +193,35 @@ def _cluster_1d(vals: np.ndarray, thr: float) -> np.ndarray:
 
 
 def _build_grid(cells: list[dict]) -> list[list[list[int]]]:
-    """Row/column cluster → grid of cell-index lists; stores rn/cn on cells."""
+    """Row/column cluster → grid of cell-index lists; stores rn/cn on cells.
+
+    Explicit TSR tags win over geometry: when every cell carries an ``R``
+    (resp. ``C``) key — the post-TSR contract, matching the reference where
+    the table-structure model tags boxes before reconstruction
+    (deepdoc/parser/pdf_parser.py:257-294) — the dense rank of those tag
+    values becomes the row (resp. col) id and the geometric gap clustering
+    is skipped entirely. Partially-tagged tables fall back to geometry for
+    the whole axis (the reference's tightest-fit fallback assigns single
+    boxes, but a half-tagged axis has no consistent id space to merge
+    into)."""
     tops = np.array([c["pn"] * PAGE_H + c["top"] for c in cells])
     x0s = np.array([c["x0"] for c in cells])
     hts = np.array([c["bottom"] - c["top"] for c in cells])
     wds = np.array([c["x1"] - c["x0"] for c in cells])
     row_thr = max(float(np.mean(hts)) / 2, 1.0)
     col_thr = max(float(np.mean(wds)) / 2, 1.0)
-    rn = _cluster_1d(tops, row_thr)
-    cn = _cluster_1d(x0s, col_thr)
+    if all("R" in c for c in cells):
+        rn = np.unique(
+            np.array([c["R"] for c in cells]), return_inverse=True
+        )[1]
+    else:
+        rn = _cluster_1d(tops, row_thr)
+    if all("C" in c for c in cells):
+        cn = np.unique(
+            np.array([c["C"] for c in cells]), return_inverse=True
+        )[1]
+    else:
+        cn = _cluster_1d(x0s, col_thr)
     n_rows, n_cols = int(rn.max()) + 1, int(cn.max()) + 1
     grid: list[list[list[int]]] = [
         [[] for _ in range(n_cols)] for _ in range(n_rows)
@@ -558,7 +578,11 @@ def construct_table(
         is_english = ascii_n >= cjk_n
     for c in cells:
         c["btype"] = block_type(c["text"])
-        c["is_h"] = c["kind"] == "table header"
+        # explicit TSR header tag wins over the fixture layout kind
+        # (pdf_parser.py:257-294 H-tagging precedes reconstruction)
+        c["is_h"] = (
+            bool(c["H"]) if "H" in c else c["kind"] == "table header"
+        )
     counts = Counter(c["btype"] for c in cells)
     max_type = max(counts.items(), key=lambda kv: kv[1])[0]
 

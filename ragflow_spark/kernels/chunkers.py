@@ -599,7 +599,14 @@ QUESTION_DIALECTS = [
 
 def qbullets_category(sections: list[str]) -> tuple[int, re.Pattern | None]:
     """Pick the question-bullet dialect with the most matching sections
-    (rag/nlp/__init__.py:150-165)."""
+    (rag/nlp/__init__.py:150-165).
+
+    Documented deviation: the reference ``break``s after the FIRST matching
+    section per pattern, so its per-dialect hit counts are always 0 or 1 and
+    ties resolve to the earliest dialect; this engine counts ALL matching
+    sections, so on corpora where several dialects each match at least once
+    the argmax can differ (the count is the more faithful reading of
+    "category by frequency"; on the fixtures the two coincide)."""
     best, best_hits = -1, 0
     for i, pat in enumerate(QUESTION_DIALECTS):
         hits = sum(1 for s in sections if pat.match((s or "").strip()))
@@ -800,6 +807,51 @@ def email_chunk(
     naive_merge at the email default budget; header fields enter as
     ordinary leading sections."""
     return naive_merge(texts, chunk_token_num, delimiter)
+
+
+_PRESENTATION_GARBAGE = re.compile(r"[0-9.,%/-]+$")
+
+
+def presentation_chunk(
+    spans: list[tuple[str, str, str]],
+) -> tuple[list[str], list[list[str]]]:
+    """Presentation template (rag/app/presentation.py:104-178): every
+    slide/page becomes exactly one chunk carrying its thumbnail. In the
+    interleaved span model a slide boundary IS the slide's media span (the
+    pptx path emits (slide_text, thumbnail) pairs, presentation.py:33-56);
+    text spans between media spans belong to the preceding slide, and text
+    before any media span forms a leading slide without a thumbnail. Lines
+    that are pure ``[0-9.,%/-]`` or shorter than 3 chars are dropped
+    (the PDF path's __garbage, presentation.py:63-68).
+
+    Input: ordered (kind, text, media_ref) triples; returns (texts, refs)
+    aligned per chunk."""
+    slides: list[tuple[list[str], list[str]]] = []
+
+    def new_slide(ref: str) -> None:
+        slides.append(([], [ref] if ref else []))
+
+    for kind, text, ref in spans:
+        if kind in ("figure", "slide", "table") and ref:
+            new_slide(ref)
+            lines = (text or "").split("\n")
+        else:
+            if not slides:
+                new_slide("")
+            lines = (text or "").split("\n")
+        for ln in lines:
+            t = ln.strip()
+            if not t or len(t.lower().strip()) < 3:
+                continue
+            if _PRESENTATION_GARBAGE.match(t.lower().strip()):
+                continue
+            slides[-1][0].append(ln)
+    texts, refs = [], []
+    for lines, r in slides:
+        if lines or r:
+            texts.append("\n".join(lines))
+            refs.append(r)
+    return texts, refs
 
 
 def tag_pairs(lines: list[str]) -> list[tuple[str, list[str]]]:

@@ -172,7 +172,9 @@ def extract_doc(spans: list[dict], html_tables: bool = False) -> list[dict]:
     return finalize_doc(strip_rows(spans), html_tables=html_tables)
 
 
-CHUNKERS = ("naive", "book", "paper", "laws", "qa", "manual", "email")
+CHUNKERS = (
+    "naive", "book", "paper", "laws", "qa", "manual", "email", "presentation"
+)
 
 
 def chunk_doc(
@@ -192,6 +194,25 @@ def chunk_doc(
     ``attach_media=False`` figures stay standalone chunks (legacy fixture
     behavior). Every chunk row carries a ``media_refs`` list."""
     out_spans = sorted(out_spans, key=lambda s: s["seq"])
+    if chunker == "presentation":
+        # every slide (delimited by its media span) is one chunk; tables
+        # and figures are slide boundaries, not standalone chunks
+        texts, media_refs = chunkers.presentation_chunk(
+            [
+                (s["kind"], s["text"] or "", s.get("media_ref") or "")
+                for s in out_spans
+            ]
+        )
+        return [
+            {
+                "chunker": chunker,
+                "chunk_seq": i,
+                "text": t,
+                "token_count": num_tokens(t),
+                "media_refs": refs,
+            }
+            for i, (t, refs) in enumerate(zip(texts, media_refs))
+        ]
     attach = attach_media and chunker == "naive"
     media_kinds = ("table",) if attach else ("table", "figure")
     media_chunks = [

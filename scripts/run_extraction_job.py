@@ -31,7 +31,7 @@ def main() -> None:
     # here: the engine resolves from the --py-files zip after session build)
     ap.add_argument("--chunker", default="naive",
                     choices=["naive", "book", "paper", "laws", "qa",
-                             "manual", "email"])
+                             "manual", "email", "presentation"])
     ap.add_argument("--chunk-tokens", type=int, default=512)
     ap.add_argument("--native-reader", action="store_true",
                     help="python-native parquet source (fast path)")

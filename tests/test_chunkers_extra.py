@@ -237,3 +237,44 @@ def test_chunk_doc_qa_markdown_route_end_to_end():
         "Question One\nanswer text a",
         "Question One\nSub\nanswer b",
     ]
+
+
+def test_presentation_chunk_slide_per_chunk():
+    """Every slide (delimited by its media span) is one chunk carrying the
+    slide thumbnail; garbage lines (pure numeric/punct or <3 chars) drop
+    (rag/app/presentation.py:63-68,104-178)."""
+    from ragflow_spark.kernels.chunkers import presentation_chunk
+
+    spans = [
+        ("text", "deck intro before any slide", ""),
+        ("figure", "", "img://slide1"),
+        ("text", "Slide one title\n42\nab\nreal content line", ""),
+        ("figure", "", "img://slide2"),
+        ("text", "100%", ""),  # garbage-only slide: kept for its thumbnail
+    ]
+    texts, refs = presentation_chunk(spans)
+    assert texts == [
+        "deck intro before any slide",
+        "Slide one title\nreal content line",
+        "",
+    ]
+    assert refs == [[], ["img://slide1"], ["img://slide2"]]
+
+
+def test_chunk_doc_presentation_route():
+    from ragflow_spark.kernels.extract import chunk_doc
+
+    out_spans = [
+        {"doc_id": "d", "seq": 0, "kind": "text", "text": "intro words here",
+         "media_ref": ""},
+        {"doc_id": "d", "seq": 1, "kind": "figure", "text": "",
+         "media_ref": "img://s1"},
+        {"doc_id": "d", "seq": 2, "kind": "text", "text": "slide one body",
+         "media_ref": ""},
+    ]
+    chunks = chunk_doc(out_spans, chunker="presentation")
+    assert [(c["text"], c["media_refs"]) for c in chunks] == [
+        ("intro words here", []),
+        ("slide one body", ["img://s1"]),
+    ]
+    assert [c["chunk_seq"] for c in chunks] == [0, 1]

@@ -357,3 +357,51 @@ def test_construct_table_headerless_two_col_coalesce():
                          bottom=110 + ri * 14, lo=0))
     txt = construct_table(cells)
     assert txt == "alpha：beta\ngamma：delta"
+
+
+def test_construct_table_tsr_tags_override_geometry():
+    """Explicit TSR R/C/H tags win over geometric clustering
+    (deepdoc/parser/pdf_parser.py:257-294: the TSR model tags boxes before
+    reconstruction). The fixture's two body rows sit 5px apart — inside the
+    geometric row threshold, so gap clustering fuses them into ONE row —
+    while the planted R tags keep them separate: the grids differ and the
+    tags must win."""
+    def mk(conflict_tags):
+        cells = []
+        for ci, h in enumerate(["name", "qty"]):
+            # tall headers inflate the mean height -> row_thr 7, so the
+            # 7px body-row gap below stays inside the fuse threshold
+            c = box(h, kind="table header", x0=90 + ci * 100,
+                    x1=180 + ci * 100, top=80, bottom=110, lo=0)
+            if conflict_tags:
+                c.update(R=0, C=ci, H=True)
+            cells.append(c)
+        for ri, row in enumerate([["apple", "3"], ["pear", "7"]]):
+            for ci, v in enumerate(row):
+                c = box(v, kind="table", x0=90 + ci * 100, x1=180 + ci * 100,
+                        top=114 + ri * 7, bottom=120 + ri * 7, lo=0)
+                if conflict_tags:
+                    c.update(R=1 + ri, C=ci, H=False)
+                cells.append(c)
+        return cells
+
+    geo = construct_table(mk(False), html=True)
+    tagged = construct_table(mk(True), html=True)
+    assert tagged != geo
+    # geometry fuses apple/pear into one row; tags restore the true grid
+    assert "apple" in geo and "pear" in geo
+    assert (
+        tagged
+        == "<table><tr><th>name</th><th>qty</th></tr>"
+        "<tr><td>apple</td><td>3</td></tr>"
+        "<tr><td>pear</td><td>7</td></tr></table>"
+    )
+
+
+def test_construct_table_partial_tags_fall_back_to_geometry():
+    cells = _table_fixture()
+    half = [dict(c) for c in cells]
+    half[0]["R"] = 5  # only one cell tagged: no consistent id space
+    assert construct_table(half, html=True) == construct_table(
+        [dict(c) for c in cells], html=True
+    )
