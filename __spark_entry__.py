@@ -610,6 +610,62 @@ FROM united
 """
 
 
+def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-field tokenization (operators.extract.with_ltks — the reference's
+    tokenize doc assembly, rag/nlp/__init__.py:258-263 — over the trie
+    tokenizer's english path). Each document word gets a cycling suffix
+    ('', s, ing, ed, ies) so the 4-rule english normalizer demonstrably
+    fires; content_sm_ltks applies the normalizer a second time
+    (fine_grained english route). The oracle reproduces both passes with
+    the shared EN_NORM_DUCK_SQL expression."""
+    from ragflow_spark.operators.extract import with_ltks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sufs = F.array(*[F.lit(s) for s in ["", "s", "ing", "ed", "ies"]])
+    words = F.split(F.trim("text"), r"\s+")
+    suffixed = F.array_join(
+        F.transform(
+            words,
+            lambda w, i: F.concat(w, F.element_at(sufs, (i % 5) + 1)),
+        ),
+        " ",
+    )
+    base = docs.select(
+        F.concat(F.lit("tk-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        suffixed.alias("text"),
+    )
+    return with_ltks(base)
+
+
+from ragflow_spark.functions.trie_tokenizer import (  # noqa: E402
+    EN_NORM_DUCK_SQL as _ENN,
+)
+
+_TOKENIZE_DOCS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+suf AS (
+  SELECT doc_id, g.i AS i,
+         words[g.i] || (['', 's', 'ing', 'ed', 'ies'])[((g.i - 1) % 5) + 1]
+           AS sw
+  FROM w, (SELECT unnest(generate_series(1, 110)) AS i) g
+  WHERE g.i <= len(words)),
+norm1 AS (
+  SELECT doc_id, i, sw, {_ENN.format(c="sw")} AS t1 FROM suf),
+norm2 AS (
+  SELECT doc_id, i, sw, t1, {_ENN.format(c="t1")} AS t2 FROM norm1)
+SELECT 'tk-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       string_agg(sw, ' ' ORDER BY i) AS text,
+       string_agg(t1, ' ' ORDER BY i) AS content_ltks,
+       string_agg(t2, ' ' ORDER BY i) AS content_sm_ltks
+FROM norm2
+GROUP BY doc_id
+"""
+
+
 def _q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_inventory(spark, sf_dir)
 
@@ -641,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_naive_docs": _q_chunk_naive_docs,
         "chunk_naive_overlap_docs": _q_chunk_naive_overlap_docs,
         "chunk_hier_docs": _q_chunk_hier_docs,
+        "tokenize_docs": _q_tokenize_docs,
         "table_rows_to_docs": assembly.table_rows_to_docs,
         # text analysis (SQL-oracled)
         "token_stats": text.token_stats,
@@ -705,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_naive_docs": _CHUNK_NAIVE_DOCS_SQL,
         "chunk_naive_overlap_docs": _CHUNK_NAIVE_OVERLAP_DOCS_SQL,
         "chunk_hier_docs": _CHUNK_HIER_DOCS_SQL,
+        "tokenize_docs": _TOKENIZE_DOCS_SQL,
         "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
         "term_idf": retrieval.TERM_IDF_SQL,
         "term_weights": retrieval.TERM_WEIGHTS_SQL,

@@ -1,0 +1,340 @@
+"""Bilingual (CJK + latin) tokenizer — the engine's from-scratch analog of
+the reference's huqie trie tokenizer (rag/nlp/rag_tokenizer.py:249-432).
+
+Semantics matched to the reference:
+
+- ``tokenize``: non-word chars → space, full→half width, lowercase; the
+  line splits into language runs; latin runs get lightweight
+  lemmatize+stem normalization; CJK runs are segmented by forward AND
+  backward greedy maximum-match over a frequency trie, agreement regions
+  accepted as-is, disagreement regions re-segmented by exhaustive DFS and
+  scored ``B/len(tks) + L + F`` (B=30, L = multi-char token ratio, F =
+  summed term frequency — rag_tokenizer.py:212-222), best score wins.
+- ``fine_grained_tokenize``: sub-splits long tokens with the SECOND-best
+  DFS segmentation (rag_tokenizer.py:394-432).
+
+Deliberate deviations (documented):
+
+- The dictionary is a small vendored table (simplified-form CJK words with
+  self-assigned log-scale frequencies + POS tags) instead of the
+  reference's ~500k-entry huqie.txt; traditional→simplified conversion is
+  therefore a no-op. Callers can extend the dictionary at runtime.
+- English normalization is a deterministic 4-rule suffix stemmer (ies→y,
+  ing-, ed-, plural-s) instead of NLTK WordNet+Porter — NLTK isn't a
+  dependency; the rules are shared verbatim with the DuckDB oracle
+  (EN_NORM_DUCK_SQL).
+"""
+
+from __future__ import annotations
+
+import re
+
+# ------------------------------------------------------------- dictionary
+
+# (word, freq, pos) — freq on the reference's log scale (higher = more
+# common); entries are self-authored common simplified-Chinese vocabulary
+# plus domain words used by the test corpus.
+VENDORED_DICT: list[tuple[str, int, str]] = [
+    ("的", 10, "d"), ("是", 9, "v"), ("在", 9, "p"), ("和", 9, "c"),
+    ("了", 9, "d"), ("有", 8, "v"), ("我", 8, "r"), ("他", 8, "r"),
+    ("中国", 8, "ns"), ("北京", 7, "ns"), ("上海", 7, "ns"),
+    ("人民", 7, "n"), ("共和", 5, "n"), ("共和国", 6, "n"),
+    ("人民共和国", 5, "n"), ("中华", 6, "ns"), ("中华人民共和国", 6, "ns"),
+    ("数据", 7, "n"), ("数据库", 6, "n"), ("分布", 5, "n"),
+    ("分布式", 5, "n"), ("系统", 6, "n"), ("分布式系统", 4, "n"),
+    ("计算", 6, "n"), ("计算机", 6, "n"), ("机器", 5, "n"),
+    ("学习", 5, "n"), ("机器学习", 5, "n"), ("模型", 5, "n"),
+    ("查询", 5, "n"), ("索引", 5, "n"), ("文档", 5, "n"),
+    ("提取", 5, "v"), ("内容", 5, "n"), ("主要", 5, "a"),
+    ("主要内容", 4, "n"), ("处理", 5, "v"), ("大规模", 4, "a"),
+    ("规模", 5, "n"), ("表格", 5, "n"), ("识别", 5, "v"),
+    ("布局", 5, "n"), ("页面", 5, "n"), ("段落", 4, "n"),
+    ("合并", 4, "v"), ("切分", 4, "v"), ("科学", 5, "n"),
+    ("科学院", 5, "n"), ("中国科学院", 4, "nt"),
+]
+
+
+class TrieTokenizer:
+    """Greedy bidirectional maximum-match with DFS disagreement scoring."""
+
+    _B = 30.0  # segment-count prior (rag_tokenizer.py:214)
+
+    def __init__(self, entries: list[tuple[str, int, str]] | None = None):
+        self._dict: dict[str, tuple[int, str]] = {}
+        self._prefixes: set[str] = set()
+        for w, f, p in entries if entries is not None else VENDORED_DICT:
+            self.add_word(w, f, p)
+
+    def add_word(self, w: str, freq: int, pos: str = "") -> None:
+        self._dict[w] = (freq, pos)
+        for i in range(1, len(w) + 1):
+            self._prefixes.add(w[:i])
+
+    def freq(self, w: str) -> int:
+        return self._dict.get(w, (0, ""))[0]
+
+    def tag(self, w: str) -> str:
+        return self._dict.get(w, (0, ""))[1]
+
+    # ----------------------------------------------------------- scoring
+
+    def _score(self, tks: list[str]) -> float:
+        if not tks:
+            return 0.0
+        freq_sum = sum(self.freq(t) for t in tks)
+        multi = sum(1 for t in tks if len(t) >= 2) / len(tks)
+        return self._B / len(tks) + multi + freq_sum
+
+    # ------------------------------------------------------ greedy passes
+
+    def _max_forward(self, line: str) -> list[str]:
+        out, s = [], 0
+        n = len(line)
+        while s < n:
+            e = s + 1
+            # extend while the slice is still a dictionary prefix
+            while e < n and line[s:e] in self._prefixes:
+                e += 1
+            # retract to the longest slice that is an actual entry
+            while e - s > 1 and line[s:e] not in self._dict:
+                e -= 1
+            out.append(line[s:e])
+            s = e
+        return out
+
+    def _max_backward(self, line: str) -> list[str]:
+        out, e = [], len(line)
+        while e > 0:
+            s = e - 1
+            while s > 0 and line[s - 1:e] in self._prefixes:
+                s -= 1
+            while e - s > 1 and line[s:e] not in self._dict:
+                s += 1
+            out.append(line[s:e])
+            e = s
+        return out[::-1]
+
+    # ------------------------------------------------------ segmentations
+
+    def _segmentations(
+        self, text: str, cap: int = 256
+    ) -> list[list[str]]:
+        """All segmentations of ``text`` where every multi-char piece is a
+        dictionary entry (single chars always allowed) — the reference's
+        dfs_ enumeration, bounded by ``cap`` results."""
+        n = len(text)
+        outs: list[list[str]] = []
+        stack: list[tuple[int, list[str]]] = [(0, [])]
+        while stack and len(outs) < cap:
+            s, acc = stack.pop()
+            if s >= n:
+                outs.append(acc)
+                continue
+            # longest candidates first so greedy-looking splits surface early
+            ends = [
+                e
+                for e in range(s + 1, n + 1)
+                if e == s + 1 or text[s:e] in self._dict
+            ]
+            for e in reversed(ends):
+                stack.append((e, acc + [text[s:e]]))
+        return outs
+
+    def _best_segmentations(self, text: str) -> list[list[str]]:
+        segs = self._segmentations(text)
+        return sorted(segs, key=self._score, reverse=True)
+
+    # ------------------------------------------------------------ merge
+
+    _SPLIT_CHAR = re.compile(r"([ ,\.<>/?;:'\[\]\\`!@#$%^&*\(\)\{\}\|_+=《》，。？、；‘’：“”【】~！￥%……（）——-]+|[a-zA-Z0-9,\.-]+)")
+
+    def _merge(self, joined: str) -> str:
+        """Re-join adjacent tokens whose concatenation (containing a split
+        char) is itself a dictionary word (rag_tokenizer.py:231-247)."""
+        tks = re.sub(r" +", " ", joined).split()
+        out, s = [], 0
+        while s < len(tks):
+            e = s + 1
+            for cand_e in range(s + 2, min(len(tks) + 1, s + 6)):
+                tk = "".join(tks[s:cand_e])
+                if self._SPLIT_CHAR.search(tk) and self.freq(tk):
+                    e = cand_e
+            out.append("".join(tks[s:e]))
+            s = e
+        return " ".join(out)
+
+    # ------------------------------------------------------------- public
+
+    def tokenize(self, line: str) -> str:
+        line = re.sub(r"\W+", " ", line, flags=re.UNICODE)
+        line = full_to_half(line).lower()
+        res: list[str] = []
+        for run, zh in split_by_lang(line):
+            if not zh:
+                res.extend(en_normalize(t) for t in run.split())
+                continue
+            if len(run) < 2 or re.match(r"[a-z\.-]+$", run) or re.match(
+                r"[0-9\.-]+$", run
+            ):
+                res.append(run)
+                continue
+            res.extend(self._segment_cjk(run))
+        return self._merge(" ".join(r for r in res if r))
+
+    def _segment_cjk(self, run: str) -> list[str]:
+        fw = self._max_forward(run)
+        bw = self._max_backward(run)
+        if fw == bw:
+            return fw
+        # align by character offsets; agreement spans pass through, each
+        # disagreement span is re-segmented by scored DFS (same contract as
+        # the reference's index-walk merge, rag_tokenizer.py:345-388 — this
+        # offset formulation is equivalent and simpler)
+        fw_off = _offsets(fw)
+        bw_off = _offsets(bw)
+        common = sorted(set(fw_off) & set(bw_off))
+        out: list[str] = []
+        for a, b in zip(common, common[1:]):
+            piece_fw = [t for t, o in zip(fw, fw_off) if a <= o < b]
+            piece_bw = [t for t, o in zip(bw, bw_off) if a <= o < b]
+            if piece_fw == piece_bw:
+                out.extend(piece_fw)
+            else:
+                best = self._best_segmentations(run[a:b])
+                out.extend(best[0] if best else [run[a:b]])
+        return out
+
+    def fine_grained_tokenize(self, tks: str) -> str:
+        toks = tks.split()
+        zh_n = sum(1 for t in toks if t and is_cjk_char(t[0]))
+        if zh_n < len(toks) * 0.2:
+            out: list[str] = []
+            for t in toks:
+                out.extend(t.split("/"))
+            return " ".join(en_normalize(t) for t in out)
+        out = []
+        for tk in toks:
+            if len(tk) < 3 or re.match(r"[0-9,\.-]+$", tk):
+                out.append(tk)
+                continue
+            if len(tk) > 10:
+                out.append(tk)
+                continue
+            segs = self._best_segmentations(tk)
+            if len(segs) < 2:
+                out.append(tk)
+                continue
+            stk = segs[1]
+            if len(stk) == len(tk):  # fully atomized: keep the original
+                out.append(tk)
+            elif re.match(r"[a-z\.-]+$", tk) and any(
+                len(t) < 3 for t in stk
+            ):
+                out.append(tk)
+            else:
+                out.append(" ".join(stk))
+        return " ".join(en_normalize(t) for t in out)
+
+
+def _offsets(tks: list[str]) -> list[int]:
+    offs, o = [], 0
+    for t in tks:
+        offs.append(o)
+        o += len(t)
+    offs.append(o)  # sentinel end offset
+    return offs
+
+
+# --------------------------------------------------------------- helpers
+
+
+def is_cjk_char(ch: str) -> bool:
+    return "一" <= ch <= "鿿"
+
+
+def full_to_half(s: str) -> str:
+    """Full-width → half-width (rag_tokenizer.py:101-114)."""
+    out = []
+    for ch in s:
+        code = ord(ch)
+        if code == 0x3000:
+            out.append(" ")
+        elif 0xFF01 <= code <= 0xFF5E:
+            out.append(chr(code - 0xFEE0))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def split_by_lang(line: str) -> list[tuple[str, bool]]:
+    """Maximal same-language runs: (text, is_cjk)
+    (rag_tokenizer.py:299-320)."""
+    runs: list[tuple[str, bool]] = []
+    for part in re.split(r"(\s+)", line):
+        if not part or part.isspace():
+            continue
+        s = 0
+        zh = is_cjk_char(part[0])
+        for e in range(1, len(part)):
+            z = is_cjk_char(part[e])
+            if z != zh:
+                runs.append((part[s:e], zh))
+                s, zh = e, z
+        runs.append((part[s:], zh))
+    return runs
+
+
+# lightweight english lemmatize+stem stand-in; rules mirrored bit-for-bit
+# by EN_NORM_DUCK_SQL (first matching rule wins)
+_EN_RULES = [
+    (re.compile(r"^(.{2,})ies$"), r"\1y"),
+    (re.compile(r"^(.{3,})ing$"), r"\1"),
+    (re.compile(r"^(.{3,})ed$"), r"\1"),
+    (re.compile(r"^(.{3,}[^s])s$"), r"\1"),
+]
+
+
+def en_normalize(t: str) -> str:
+    if not re.match(r"[a-zA-Z_-]+$", t):
+        return t
+    for pat, rep in _EN_RULES:
+        m = pat.match(t)
+        if m:
+            return pat.sub(rep, t)
+    return t
+
+
+# DuckDB mirror of en_normalize for oracle SQL; {c} is the token column.
+EN_NORM_DUCK_SQL = (
+    "(CASE WHEN NOT regexp_matches({c}, '^[a-zA-Z_-]+$') THEN {c} "
+    "WHEN regexp_matches({c}, '^.{{2,}}ies$') "
+    "THEN regexp_replace({c}, '^(.{{2,}})ies$', '\\1y') "
+    "WHEN regexp_matches({c}, '^.{{3,}}ing$') "
+    "THEN regexp_replace({c}, '^(.{{3,}})ing$', '\\1') "
+    "WHEN regexp_matches({c}, '^.{{3,}}ed$') "
+    "THEN regexp_replace({c}, '^(.{{3,}})ed$', '\\1') "
+    "WHEN regexp_matches({c}, '^.{{3,}}[^s]s$') "
+    "THEN regexp_replace({c}, '^(.{{3,}}[^s])s$', '\\1') "
+    "ELSE {c} END)"
+)
+
+
+_DEFAULT: TrieTokenizer | None = None
+
+
+def default_tokenizer() -> TrieTokenizer:
+    """Process-wide instance over the vendored dictionary. Built lazily so
+    executors pay the trie build once per worker, not per batch — and
+    nothing pickles the trie through closures."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = TrieTokenizer()
+    return _DEFAULT
+
+
+def tokenize(line: str) -> str:
+    return default_tokenizer().tokenize(line)
+
+
+def fine_grained_tokenize(tks: str) -> str:
+    return default_tokenizer().fine_grained_tokenize(tks)

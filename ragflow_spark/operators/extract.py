@@ -25,6 +25,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ragflow_spark.kernels.extract import (
     chunk_doc,
@@ -297,3 +298,44 @@ def chunk_stage(
         )
 
     return out_spans.groupBy("doc_id").applyInPandas(run, schema=CHUNKS_SCHEMA)
+
+
+_TABLE_TAG_RE = r"</?(table|td|caption|tr|th)( [^<>]{0,12})?>"
+
+
+def with_ltks(chunks: DataFrame) -> DataFrame:
+    """Doc-field assembly (reference tokenize, rag/nlp/__init__.py:258-263):
+    strip table HTML tags, then add ``content_ltks`` (trie-tokenized text)
+    and ``content_sm_ltks`` (fine-grained re-split) columns. Arrow-batched
+    mapInPandas; the trie builds once per worker (module-level lazy
+    singleton), so the per-row cost is the tokenization itself."""
+    schema = T.StructType(
+        chunks.schema.fields
+        + [
+            T.StructField("content_ltks", T.StringType(), True),
+            T.StructField("content_sm_ltks", T.StringType(), True),
+        ]
+    )
+
+    def run(batches):
+        import re as _re
+
+        from ragflow_spark.functions.trie_tokenizer import (
+            fine_grained_tokenize,
+            tokenize,
+        )
+
+        for pdf in batches:
+            stripped = (
+                pdf["text"]
+                .fillna("")
+                .map(lambda t: _re.sub(_TABLE_TAG_RE, " ", t))
+            )
+            pdf = pdf.copy()
+            pdf["content_ltks"] = stripped.map(tokenize)
+            pdf["content_sm_ltks"] = pdf["content_ltks"].map(
+                fine_grained_tokenize
+            )
+            yield pdf
+
+    return chunks.mapInPandas(run, schema=schema)
