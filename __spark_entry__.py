@@ -610,6 +610,107 @@ FROM united
 """
 
 
+def _q_chunk_paper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """paper_chunk (kernels/chunkers.py, rag/app/paper.py:86-209)
+    bit-checked: per document a paper-shaped section list — title box,
+    authors box, 'Abstract' heading, a long abstract body (>64 chars, the
+    unsplittable-abstract branch), then a body with two 'Chapter N' pivots.
+    Title/authors/abstract-heading are consumed by the sniffers; the
+    abstract body becomes chunk 0; body sections concatenate between
+    pivots (sec_id advances when a level<=most_level section changes
+    level — a plain cumsum in the oracle, no recursion)."""
+    import pandas as pd
+
+    from ragflow_spark.functions.tokens import num_tokens
+    from ragflow_spark.kernels.chunkers import paper_chunk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, texts, toks = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split()
+                j = lambda a, b: " ".join(words[a:b])  # noqa: E731
+                secs = [
+                    ("Research on " + j(0, 3), "title"),
+                    (j(3, 5), "text"),
+                    ("Abstract", "text"),
+                    (" ".join(words * 2), "text"),
+                    ("Chapter 1", "text"),
+                    (j(5, 8), "text"),
+                    (j(8, 10), "text"),
+                    ("Chapter 2", "text"),
+                    (j(10, 13), "text"),
+                ]
+                paper = paper_chunk(secs)
+                outs = (
+                    [paper["abstract"]] if paper["abstract"] else []
+                ) + paper["chunks"]
+                for i, ck in enumerate(outs):
+                    ids.append(f"pp-{doc_id}")
+                    seqs.append(i)
+                    texts.append(ck)
+                    toks.append(num_tokens(ck))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_seq": seqs,
+                    "text": texts,
+                    "token_count": toks,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, chunk_seq int, text string, token_count int",
+    )
+
+
+_CHUNK_PAPER_DOCS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+-- abstract body = words repeated twice (always >64 chars at >=10 words)
+abstract AS (
+  SELECT doc_id, 0 AS ord,
+         array_to_string(words, ' ') || ' ' || array_to_string(words, ' ')
+           AS text
+  FROM w),
+-- body sections after the sniffers: two Chapter pivots; sec_id = pivot
+-- ordinal, sections concatenate per sec_id in order
+body AS (
+  SELECT doc_id, s.k,
+         CASE s.k
+           WHEN 1 THEN 'Chapter 1'
+           WHEN 2 THEN coalesce(array_to_string(words[6:8], ' '), '')
+           WHEN 3 THEN coalesce(array_to_string(words[9:10], ' '), '')
+           WHEN 4 THEN 'Chapter 2'
+           ELSE coalesce(array_to_string(words[11:13], ' '), '')
+         END AS sect,
+         CASE WHEN s.k IN (1, 4) THEN 1 ELSE 0 END AS is_pivot
+  FROM w, (SELECT unnest(generate_series(1, 5)) AS k) s),
+folded AS (
+  SELECT doc_id, k, sect,
+         sum(CASE WHEN is_pivot = 1 AND k > 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY k) AS sec_id
+  FROM body),
+chunks AS (
+  SELECT doc_id, sec_id + 1 AS ord,
+         string_agg(sect, chr(10) ORDER BY k) AS text
+  FROM folded GROUP BY doc_id, sec_id),
+united AS (
+  SELECT * FROM abstract UNION ALL SELECT * FROM chunks)
+SELECT 'pp-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(ord AS INTEGER) AS chunk_seq,
+       text,
+       CAST({_TOK.format(c="text")} AS INTEGER) AS token_count
+FROM united
+"""
+
+
 def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-field tokenization (operators.extract.with_ltks — the reference's
     tokenize doc assembly, rag/nlp/__init__.py:258-263 — over the trie
@@ -697,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_naive_docs": _q_chunk_naive_docs,
         "chunk_naive_overlap_docs": _q_chunk_naive_overlap_docs,
         "chunk_hier_docs": _q_chunk_hier_docs,
+        "chunk_paper_docs": _q_chunk_paper_docs,
         "tokenize_docs": _q_tokenize_docs,
         "table_rows_to_docs": assembly.table_rows_to_docs,
         # text analysis (SQL-oracled)
@@ -762,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_naive_docs": _CHUNK_NAIVE_DOCS_SQL,
         "chunk_naive_overlap_docs": _CHUNK_NAIVE_OVERLAP_DOCS_SQL,
         "chunk_hier_docs": _CHUNK_HIER_DOCS_SQL,
+        "chunk_paper_docs": _CHUNK_PAPER_DOCS_SQL,
         "tokenize_docs": _TOKENIZE_DOCS_SQL,
         "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
         "term_idf": retrieval.TERM_IDF_SQL,

@@ -80,7 +80,11 @@ def main() -> None:
                          row_group_bytes=1024 * 1024)
         # size splits to ~4 tasks/core so local[32] isn't starved at the
         # bench corpus size (split floor = one parquet row group)
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or os.cpu_count() or 8)
+        cpus = (
+            int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
+            or os.cpu_count()
+            or 8
+        )
         target_rows = max(200, n_native // (4 * cpus))
         t0 = time.time()
         extract_chunks_native(spark, corpus, target_rows=target_rows).count()

@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--native-sink", action="store_true",
                     help="sink-in-task: tasks write their own parquet parts; "
                          "only the per-split lineage manifest reaches the driver")
+    ap.add_argument("--ltks", action="store_true",
+                    help="add content_ltks/content_sm_ltks doc fields "
+                         "(trie tokenizer; rag/nlp/__init__.py:258-263)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -90,6 +93,10 @@ def main() -> None:
             chunk_token_num=args.chunk_tokens,
         )
 
+    if args.ltks:
+        from ragflow_spark.operators.extract import with_ltks
+
+        chunks = with_ltks(chunks)
     with_chunk_ids(chunks).write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"wrote {n} chunks to {args.output}")
