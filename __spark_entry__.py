@@ -767,6 +767,278 @@ GROUP BY doc_id
 """
 
 
+def _q_chunk_picture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Picture chunker doc assembly (kernels/media_docs.picture_doc,
+    rag/app/picture.py:34-65) bit-checked over documents: even doc_ids
+    get the full text as OCR output (the long-OCR route that skips the
+    CV model), odd doc_ids get only the first three words (the short
+    route through the deterministic caption stub). The oracle reproduces
+    the route branch, the caption append, and both tokenizer passes with
+    the shared english-normalizer expression."""
+    import pandas as pd
+
+    from ragflow_spark.kernels.media_docs import picture_doc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def stub_describe(fn: str, txt: str) -> str:
+        return "photo of " + (txt.split() or ["nothing"])[0]
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "route", "title_tks", "text",
+                    "content_ltks", "content_sm_ltks")}
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                words = (txt or "").split()
+                ocr = txt if doc_id % 2 == 0 else " ".join(words[:3])
+                d = picture_doc(
+                    f"img_{doc_id}.jpg", ocr, describe=stub_describe
+                )
+                if d is None:
+                    continue
+                out["doc_id"].append(f"pic-{doc_id}")
+                out["route"].append(
+                    "ocr" if d["content_with_weight"] == ocr else "cv"
+                )
+                out["title_tks"].append(d["title_tks"])
+                out["text"].append(d["content_with_weight"])
+                out["content_ltks"].append(d["content_ltks"])
+                out["content_sm_ltks"].append(d["content_sm_ltks"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, route string, title_tks string, "
+               "text string, content_ltks string, content_sm_ltks string",
+    )
+
+
+from ragflow_spark.functions.trie_tokenizer import (  # noqa: E402
+    EN_NORM_DUCK_SQL as _ENN2,
+)
+
+_ENN_W = _ENN2.format(c="w")
+_ENN_WW = _ENN2.format(c=_ENN_W)
+
+
+# tokenize == per-word en_normalize for pure-\w english text; the second
+# pass is the fine-grained english route (no '/' in this corpus).
+# Plain concatenation — the expanded ENN contains regex {2,} braces that
+# str.format would mangle.
+def _ltks_sql(col: str) -> str:
+    return (
+        "array_to_string(list_transform(regexp_split_to_array("
+        + col + ", '\\s+'), w -> " + _ENN_W + "), ' ')"
+    )
+
+
+def _sm_ltks_sql(col: str) -> str:
+    return (
+        "array_to_string(list_transform(regexp_split_to_array("
+        + col + ", '\\s+'), w -> " + _ENN_WW + "), ' ')"
+    )
+
+_CHUNK_PICTURE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, trim(text) AS ft,
+         regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+ocr AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN ft
+              ELSE array_to_string(words[1:3], ' ') END AS otxt
+  FROM base),
+routed AS (
+  SELECT doc_id, otxt,
+         CASE WHEN len(regexp_split_to_array(otxt, '\\s+')) > 32
+                   OR length(otxt) > 32
+              THEN 'ocr' ELSE 'cv' END AS route
+  FROM ocr),
+content AS (
+  SELECT doc_id, route,
+         CASE WHEN route = 'ocr' THEN otxt
+              ELSE otxt || chr(10) || 'photo of ' ||
+                   (CASE WHEN otxt = '' THEN 'nothing'
+                         ELSE regexp_split_to_array(otxt, '\\s+')[1] END)
+         END AS cw
+  FROM routed)
+SELECT 'pic-' || CAST(doc_id AS VARCHAR) AS doc_id, route,
+       'img_' || CAST(doc_id AS VARCHAR) AS title_tks,
+       cw AS text,
+       {_ltks_sql("cw")} AS content_ltks,
+       {_sm_ltks_sql("cw")} AS content_sm_ltks
+FROM content
+"""
+
+
+def _q_chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunker doc assembly (kernels/media_docs.audio_doc,
+    rag/app/audio.py:26-61) bit-checked over documents: filenames cycle
+    .wav/.mp3/.xyz/(none) by doc_id, so half the corpus is rejected by
+    the extension gate before any transcription; the document text plays
+    the transcription-model output for the accepted half."""
+    import pandas as pd
+
+    from ragflow_spark.kernels.media_docs import audio_doc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exts = [".wav", ".mp3", ".xyz", ""]
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "docnm_kwd", "title_tks", "title_sm_tks",
+                    "content_ltks")}
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                fn = f"rec_{doc_id}{exts[doc_id % 4]}"
+                d = audio_doc(fn, txt)
+                if d is None:
+                    continue
+                out["doc_id"].append(f"au-{doc_id}")
+                out["docnm_kwd"].append(d["docnm_kwd"])
+                out["title_tks"].append(d["title_tks"])
+                out["title_sm_tks"].append(d["title_sm_tks"])
+                out["content_ltks"].append(d["content_ltks"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, docnm_kwd string, title_tks string, "
+               "title_sm_tks string, content_ltks string",
+    )
+
+
+_CHUNK_AUDIO_SQL = f"""
+SELECT 'au-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       'rec_' || CAST(doc_id AS VARCHAR) ||
+         (CASE WHEN doc_id % 4 = 0 THEN '.wav' ELSE '.mp3' END)
+         AS docnm_kwd,
+       'rec_' || CAST(doc_id AS VARCHAR) ||
+         (CASE WHEN doc_id % 4 = 0 THEN '' ELSE ' mp3' END) AS title_tks,
+       'rec_' || CAST(doc_id AS VARCHAR) ||
+         (CASE WHEN doc_id % 4 = 0 THEN '' ELSE ' mp3' END)
+         AS title_sm_tks,
+       {_ltks_sql("trim(text)")} AS content_ltks
+FROM documents
+WHERE doc_id % 4 IN (0, 1)
+"""
+
+
+def _q_chunk_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume post-parse doc assembly (kernels/media_docs.resume_doc,
+    rag/app/resume.py:75-168) bit-checked over documents: a deterministic
+    parsed-resume dict is synthesized from each document's words (the
+    remote parse service is the non-goal seam); every tenth doc gets a
+    sparse 3-field dict exercising the <7-fields parse-failure contract.
+    CJK literals in the oracle (男/女, 简 历, degree names, the field-map
+    labels) are dictionary constants guarded by
+    tests/test_media_docs.py::test_oracle_token_constants."""
+    import pandas as pd
+
+    from ragflow_spark.kernels.media_docs import resume_doc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    degrees = ["本科", "硕士", "博士", "专科"]
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "title_tks", "text", "name_kwd", "age_int",
+                    "work_exp_flt", "email_tks", "first_degree_kwd")}
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                w = (txt or "").split()
+                if doc_id % 10 == 9:
+                    parsed = {
+                        "name_kwd": w[0] if w else "x",
+                        "age_int": 30,
+                        "phone_kwd": "138",
+                    }
+                else:
+                    parsed = {
+                        "name_kwd": w[0] if w else "x",
+                        "gender_kwd": "男" if doc_id % 2 == 0 else "女",
+                        "age_int": 22 + doc_id % 30,
+                        "phone_kwd": "138" + str(doc_id).zfill(8),
+                        "email_tks": (w[3] if len(w) > 3 else "user")
+                        + "@example.com",
+                        "position_name_tks": " ".join(w[1:3]),
+                        "work_exp_flt": doc_id % 20 + 0.5,
+                        "corporation_name_tks": " ".join(w[4:6]),
+                        "first_school_name_tks": w[6] if len(w) > 6
+                        else "school",
+                        "first_degree_kwd": degrees[doc_id % 4],
+                    }
+                d = resume_doc(f"resume_{doc_id}.pdf", parsed)
+                if d is None:
+                    continue
+                out["doc_id"].append(f"re-{doc_id}")
+                out["title_tks"].append(d["title_tks"])
+                out["text"].append(d["content_with_weight"])
+                out["name_kwd"].append(d["name_kwd"])
+                out["age_int"].append(d["age_int"])
+                out["work_exp_flt"].append(d["work_exp_flt"])
+                out["email_tks"].append(d["email_tks"])
+                out["first_degree_kwd"].append(d["first_degree_kwd"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, title_tks string, text string, "
+               "name_kwd string, age_int int, work_exp_flt double, "
+               "email_tks string, first_degree_kwd string",
+    )
+
+
+_CHUNK_RESUME_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+  WHERE doc_id % 10 != 9),
+fields AS (
+  SELECT doc_id,
+         coalesce(w[1], 'x') AS name,
+         CASE WHEN doc_id % 2 = 0 THEN '男' ELSE '女' END AS gender,
+         22 + doc_id % 30 AS age,
+         '138' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS phone,
+         (CASE WHEN len(w) > 3 THEN w[4] ELSE 'user' END)
+           || '@example.com' AS email,
+         coalesce(array_to_string(w[2:3], ' '), '') AS position,
+         CAST(doc_id % 20 AS DOUBLE) + 0.5 AS work_exp,
+         coalesce(array_to_string(w[5:6], ' '), '') AS corp,
+         CASE WHEN len(w) > 6 THEN w[7] ELSE 'school' END AS school,
+         (['本科', '硕士', '博士', '专科'])[(doc_id % 4) + 1] AS degree
+  FROM base)
+SELECT 're-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       {_ltks_sql("name")} || ' ' || gender || ' ' ||
+         {_ltks_sql("position")} || ' ' ||
+         CAST(age AS VARCHAR) || ' 简 历' AS title_tks,
+       '姓名/名字: ' || name || chr(10) ||
+       '性别: ' || gender || chr(10) ||
+       '年龄/岁/年纪: ' || CAST(age AS VARCHAR) || chr(10) ||
+       '电话/手机/微信: ' || phone || chr(10) ||
+       'email/e-mail/邮箱: ' || email || chr(10) ||
+       '职位/职能/岗位/职责: ' || position || chr(10) ||
+       '工作年限/工作年份/N年经验/毕业了多少年: ' ||
+         CAST(work_exp AS VARCHAR) || chr(10) ||
+       '最近就职(上班)的公司/上一家公司: ' || corp || chr(10) ||
+       '第一学历毕业学校: ' || school || chr(10) ||
+       '第一学历: ' || degree AS text,
+       name AS name_kwd,
+       CAST(age AS INTEGER) AS age_int,
+       work_exp AS work_exp_flt,
+       email AS email_tks,
+       degree AS first_degree_kwd
+FROM fields
+"""
+
+
 def _q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_inventory(spark, sf_dir)
 
@@ -799,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_naive_overlap_docs": _q_chunk_naive_overlap_docs,
         "chunk_hier_docs": _q_chunk_hier_docs,
         "chunk_paper_docs": _q_chunk_paper_docs,
+        "chunk_picture": _q_chunk_picture,
+        "chunk_audio": _q_chunk_audio,
+        "chunk_resume": _q_chunk_resume,
         "tokenize_docs": _q_tokenize_docs,
         "table_rows_to_docs": assembly.table_rows_to_docs,
         # text analysis (SQL-oracled)
@@ -865,6 +1140,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_naive_overlap_docs": _CHUNK_NAIVE_OVERLAP_DOCS_SQL,
         "chunk_hier_docs": _CHUNK_HIER_DOCS_SQL,
         "chunk_paper_docs": _CHUNK_PAPER_DOCS_SQL,
+        "chunk_picture": _CHUNK_PICTURE_SQL,
+        "chunk_audio": _CHUNK_AUDIO_SQL,
+        "chunk_resume": _CHUNK_RESUME_SQL,
         "tokenize_docs": _TOKENIZE_DOCS_SQL,
         "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
         "term_idf": retrieval.TERM_IDF_SQL,
