@@ -1039,6 +1039,103 @@ FROM fields
 """
 
 
+def _q_es_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-doc assembly (operators.extract.assemble_es_docs — the
+    reference tokenize_chunks non-PDF path + add_positions pseudo
+    coordinates) bit-checked over documents: each document splits into
+    two half-word chunks (the second is empty for one-word docs,
+    exercising the empty-chunk skip), then every chunk is wrapped as a
+    search doc with docnm/title tokens, [[ii]*5] pseudo positions and
+    tokenized content fields. Arrays project to scalars for the driver
+    canonicalizer (first page / flattened position string)."""
+    from ragflow_spark.operators.extract import assemble_es_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = F.split(F.trim("text"), r"\s+")
+    k = F.ceil(F.size(words) / F.lit(2.0)).cast("int")
+    halves = F.array(
+        F.struct(
+            F.lit(0).alias("chunk_seq"),
+            F.array_join(F.slice(words, 1, k), " ").alias("text"),
+        ),
+        F.struct(
+            F.lit(1).alias("chunk_seq"),
+            F.array_join(
+                F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0))),
+                " ",
+            ).alias("text"),
+        ),
+    )
+    chunks = (
+        docs.select(
+            F.concat(F.lit("es-"), F.col("doc_id").cast("string")).alias(
+                "doc_id"
+            ),
+            F.concat(
+                F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
+            ).alias("docnm"),
+            F.explode(halves).alias("h"),
+        )
+        .select("doc_id", "docnm", "h.chunk_seq", "h.text")
+    )
+    out = assemble_es_docs(chunks, docnm_col="docnm")
+    return out.select(
+        "doc_id",
+        "chunk_seq",
+        "docnm_kwd",
+        "title_tks",
+        "title_sm_tks",
+        F.element_at("page_num_int", 1).alias("page_num"),
+        F.array_join(
+            F.transform(
+                F.element_at("position_int", 1),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("position"),
+        F.element_at("top_int", 1).alias("top"),
+        "content_ltks",
+        "content_sm_ltks",
+    )
+
+
+_ES_DOCS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+h AS (
+  SELECT doc_id, words,
+         CAST(ceil(len(words) / 2.0) AS INT) AS k
+  FROM w),
+parts AS (
+  SELECT doc_id, 0 AS chunk_seq,
+         coalesce(array_to_string(words[1:k], ' '), '') AS ctext
+  FROM h
+  UNION ALL
+  SELECT doc_id, 1,
+         coalesce(array_to_string(words[k + 1:len(words)], ' '), '')
+  FROM h)
+SELECT 'es-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(chunk_seq AS INTEGER) AS chunk_seq,
+       'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS docnm_kwd,
+       'doc_' || CAST(doc_id AS VARCHAR) AS title_tks,
+       'doc_' || CAST(doc_id AS VARCHAR) AS title_sm_tks,
+       CAST(chunk_seq + 1 AS INTEGER) AS page_num,
+       CAST(chunk_seq + 1 AS VARCHAR) || ',' ||
+         CAST(chunk_seq AS VARCHAR) || ',' ||
+         CAST(chunk_seq AS VARCHAR) || ',' ||
+         CAST(chunk_seq AS VARCHAR) || ',' ||
+         CAST(chunk_seq AS VARCHAR) AS position,
+       CAST(chunk_seq AS INTEGER) AS top,
+       {_ltks_sql("ctext")} AS content_ltks,
+       {_sm_ltks_sql("ctext")} AS content_sm_ltks
+FROM parts
+WHERE trim(ctext) != ''
+"""
+
+
 def _q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_inventory(spark, sf_dir)
 
@@ -1074,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_picture": _q_chunk_picture,
         "chunk_audio": _q_chunk_audio,
         "chunk_resume": _q_chunk_resume,
+        "es_docs": _q_es_docs,
         "tokenize_docs": _q_tokenize_docs,
         "table_rows_to_docs": assembly.table_rows_to_docs,
         # text analysis (SQL-oracled)
@@ -1143,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_picture": _CHUNK_PICTURE_SQL,
         "chunk_audio": _CHUNK_AUDIO_SQL,
         "chunk_resume": _CHUNK_RESUME_SQL,
+        "es_docs": _ES_DOCS_SQL,
         "tokenize_docs": _TOKENIZE_DOCS_SQL,
         "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
         "term_idf": retrieval.TERM_IDF_SQL,

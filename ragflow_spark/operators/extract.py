@@ -339,3 +339,83 @@ def with_ltks(chunks: DataFrame) -> DataFrame:
             yield pdf
 
     return chunks.mapInPandas(run, schema=schema)
+
+
+def assemble_es_docs(chunks: DataFrame, docnm_col: str = "docnm") -> DataFrame:
+    """Index-doc assembly — the reference ``tokenize_chunks`` non-PDF path
+    (rag/nlp/__init__.py:267-286 + add_positions :332-344): every non-empty
+    chunk becomes a search document carrying the file-level title fields
+    (``docnm_kwd``, ``title_tks``, ``title_sm_tks`` from the name minus its
+    extension), the pseudo position ``[[ii]*5]`` → page_num_int [ii+1] /
+    position_int [[ii+1,ii,ii,ii,ii]] / top_int [ii], and the tokenized
+    content fields. The PDF crop branch is the ONNX non-goal; real PDF
+    geometry rides as structs upstream (schemas.Geom). One Arrow pass, no
+    shuffle — the per-doc title tokenization is cached per batch because
+    consecutive chunks share their document."""
+    import re as _re
+
+    schema = T.StructType(
+        chunks.schema.fields
+        + [
+            T.StructField("docnm_kwd", T.StringType(), True),
+            T.StructField("title_tks", T.StringType(), True),
+            T.StructField("title_sm_tks", T.StringType(), True),
+            T.StructField("page_num_int", T.ArrayType(T.IntegerType()), True),
+            T.StructField(
+                "position_int",
+                T.ArrayType(T.ArrayType(T.IntegerType())),
+                True,
+            ),
+            T.StructField("top_int", T.ArrayType(T.IntegerType()), True),
+            T.StructField("content_ltks", T.StringType(), True),
+            T.StructField("content_sm_ltks", T.StringType(), True),
+        ]
+    )
+    ext_re = _re.compile(r"\.[a-zA-Z]+$")
+    table_re = _re.compile(_TABLE_TAG_RE)
+
+    def run(batches):
+        from ragflow_spark.functions.trie_tokenizer import (
+            fine_grained_tokenize,
+            tokenize,
+        )
+
+        title_cache: dict[str, tuple[str, str]] = {}
+
+        def titles(nm: str) -> tuple[str, str]:
+            if nm not in title_cache:
+                tks = tokenize(ext_re.sub("", nm))
+                title_cache[nm] = (tks, fine_grained_tokenize(tks))
+            return title_cache[nm]
+
+        for pdf in batches:
+            keep = pdf["text"].fillna("").str.strip().str.len() > 0
+            pdf = pdf[keep].copy()
+            tt = pdf[docnm_col].fillna("").map(titles)
+            pdf["docnm_kwd"] = pdf[docnm_col]
+            pdf["title_tks"] = tt.map(lambda t: t[0])
+            pdf["title_sm_tks"] = tt.map(lambda t: t[1])
+            # explicit object dtype: Arrow can't convert numpy-inferred
+            # nested-list arrays (same pitfall as chunk_stage media_refs)
+            seq = pdf["chunk_seq"].astype(int).tolist()
+            pdf["page_num_int"] = pd.Series(
+                [[i + 1] for i in seq], dtype=object, index=pdf.index
+            )
+            pdf["position_int"] = pd.Series(
+                [[[i + 1, i, i, i, i]] for i in seq],
+                dtype=object,
+                index=pdf.index,
+            )
+            pdf["top_int"] = pd.Series(
+                [[i] for i in seq], dtype=object, index=pdf.index
+            )
+            stripped = pdf["text"].fillna("").map(
+                lambda t: table_re.sub(" ", t)
+            )
+            pdf["content_ltks"] = stripped.map(tokenize)
+            pdf["content_sm_ltks"] = pdf["content_ltks"].map(
+                fine_grained_tokenize
+            )
+            yield pdf
+
+    return chunks.mapInPandas(run, schema=schema)

@@ -138,3 +138,35 @@ def test_query_build_expansion_rows(spark):
         lambda s: sorted(s.tolist())
     )
     assert all(v == [0.1, 0.6] for v in per_q)
+
+
+def test_assemble_es_docs_fields(spark):
+    from ragflow_spark.operators.extract import assemble_es_docs
+
+    chunks = spark.createDataFrame(
+        [
+            ("d1", 0, "running cats here", "notes_1.txt"),
+            ("d1", 1, "   ", "notes_1.txt"),  # empty: skipped
+            ("d1", 2, "second part", "notes_1.txt"),
+            ("d2", 0, "<table><td>x</td></table> cell", "r.mp3"),
+        ],
+        "doc_id string, chunk_seq int, text string, docnm string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_seq"]): r
+        for r in assemble_es_docs(chunks).collect()
+    }
+    assert set(rows) == {("d1", 0), ("d1", 2), ("d2", 0)}
+    r = rows[("d1", 2)]
+    # pseudo positions from the chunk index (add_positions [[ii]*5])
+    assert r["page_num_int"] == [3]
+    assert r["position_int"] == [[3, 2, 2, 2, 2]]
+    assert r["top_int"] == [2]
+    assert r["docnm_kwd"] == "notes_1.txt"
+    assert r["title_tks"] == "notes_1"
+    # en_normalize fires in content tokens
+    assert rows[("d1", 0)]["content_ltks"] == "runn cats here"
+    # table tags stripped before tokenization; digit-ext title quirk
+    r2 = rows[("d2", 0)]
+    assert r2["content_ltks"].strip() == "x cell"
+    assert r2["title_tks"] == "r mp3"
