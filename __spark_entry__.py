@@ -610,6 +610,207 @@ FROM united
 """
 
 
+def _q_chunk_manual_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """manual_chunk (kernels/chunkers.py, rag/app/manual.py:214-253)
+    bit-checked: per document eight sections — three 'Chapter N' bullet
+    titles (the EN dialect wins bullets_category) interleaved with word-
+    slice bodies sized to exercise both glue reasons (tiny <32 tokens;
+    same-section <1024) and the section-change break. The section ids for
+    this fixed structure are the constants [0,0,0,1,1,2,2,2] (title level
+    <= most_level advances on level change); the oracle folds the same
+    (chunk_seq, acc_tokens, last_sid) state through a recursive CTE."""
+    import pandas as pd
+
+    from ragflow_spark.functions.tokens import num_tokens
+    from ragflow_spark.kernels.chunkers import manual_chunk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, texts, toks = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = (text or "").split()
+                j = lambda a, b: " ".join(w[a:b])  # noqa: E731
+                secs = [
+                    ("Chapter 1", "text"),
+                    (j(0, 40), "text"),
+                    (j(40, 45), "text"),
+                    ("Chapter 2", "text"),
+                    (j(45, 85), "text"),
+                    ("Chapter 3", "text"),
+                    (j(85, 90), "text"),
+                    (j(90, 110), "text"),
+                ]
+                for i, ck in enumerate(manual_chunk(secs)):
+                    ids.append(f"mn-{doc_id}")
+                    seqs.append(i)
+                    texts.append(ck)
+                    toks.append(num_tokens(ck))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_seq": seqs,
+                    "text": texts,
+                    "token_count": toks,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, chunk_seq int, text string, token_count int",
+    )
+
+
+_CHUNK_MANUAL_DOCS_SQL = f"""
+WITH RECURSIVE
+w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+secs AS (
+  SELECT doc_id, g.k AS seq,
+         CASE g.k
+           WHEN 1 THEN 'Chapter 1'
+           WHEN 2 THEN coalesce(array_to_string(words[1:40], ' '), '')
+           WHEN 3 THEN coalesce(array_to_string(words[41:45], ' '), '')
+           WHEN 4 THEN 'Chapter 2'
+           WHEN 5 THEN coalesce(array_to_string(words[46:85], ' '), '')
+           WHEN 6 THEN 'Chapter 3'
+           WHEN 7 THEN coalesce(array_to_string(words[86:90], ' '), '')
+           ELSE coalesce(array_to_string(words[91:110], ' '), '')
+         END AS sect,
+         -- section ids for this fixed structure (titles advance)
+         ([0, 0, 0, 1, 1, 2, 2, 2])[g.k] AS sec_id
+  FROM w, (SELECT unnest(generate_series(1, 8)) AS k) g),
+tok AS (
+  SELECT doc_id, seq, sect, sec_id,
+         CAST({_TOK.format(c="sect")} AS INTEGER) AS tk
+  FROM secs),
+fold AS (
+  SELECT doc_id, seq, 0 AS chunk_seq, tk AS acc, sec_id AS last_sid,
+         sect AS ctext
+  FROM tok WHERE seq = 1
+  UNION ALL
+  SELECT t.doc_id, t.seq,
+         CASE WHEN f.acc < 32 OR (f.acc < 1024 AND t.sec_id = f.last_sid)
+              THEN f.chunk_seq ELSE f.chunk_seq + 1 END,
+         CASE WHEN f.acc < 32 OR (f.acc < 1024 AND t.sec_id = f.last_sid)
+              THEN f.acc + t.tk ELSE t.tk END,
+         CASE WHEN f.acc < 32 OR (f.acc < 1024 AND t.sec_id = f.last_sid)
+              THEN f.last_sid ELSE t.sec_id END,
+         CASE WHEN f.acc < 32 OR (f.acc < 1024 AND t.sec_id = f.last_sid)
+              THEN f.ctext || chr(10) || t.sect ELSE t.sect END
+  FROM fold f JOIN tok t ON t.doc_id = f.doc_id AND t.seq = f.seq + 1)
+SELECT 'mn-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       chunk_seq,
+       ctext AS text,
+       CAST({_TOK.format(c="ctext")} AS INTEGER) AS token_count
+FROM fold
+QUALIFY row_number() OVER (PARTITION BY doc_id, chunk_seq
+                           ORDER BY seq DESC) = 1
+"""
+
+
+def _q_chunk_presentation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """presentation_chunk (kernels/chunkers.py, rag/app/presentation.py:
+    104-178) bit-checked: per document five interleaved spans — a leading
+    text span (slide without thumbnail), two figure spans opening slides
+    m1/m2, and trailing text spans, one of which carries a pure-numeric
+    line and a 2-char line that the PDF-path garbage filter must drop.
+    media refs project to a first-or-empty scalar for the driver."""
+    import pandas as pd
+
+    from ragflow_spark.functions.tokens import num_tokens
+    from ragflow_spark.kernels.chunkers import presentation_chunk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, texts, refs, toks = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = (text or "").split()
+                j = lambda a, b: " ".join(w[a:b])  # noqa: E731
+                spans = [
+                    ("txt", j(0, 2), ""),
+                    ("figure", j(2, 6), f"m1-{doc_id}"),
+                    ("txt", j(6, 9) + "\n42\nab", ""),
+                    ("figure", j(9, 13), f"m2-{doc_id}"),
+                    ("txt", j(13, 16), ""),
+                ]
+                stexts, srefs = presentation_chunk(spans)
+                for i, (t, r) in enumerate(zip(stexts, srefs)):
+                    ids.append(f"pr-{doc_id}")
+                    seqs.append(i)
+                    texts.append(t)
+                    refs.append(r[0] if r else "")
+                    toks.append(num_tokens(t))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "slide_seq": seqs,
+                    "text": texts,
+                    "media_ref": refs,
+                    "token_count": toks,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, slide_seq int, text string, "
+               "media_ref string, token_count int",
+    )
+
+
+_CHUNK_PRESENTATION_DOCS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+lines AS (
+  SELECT doc_id, l.slide, l.ord,
+         CASE l.slide * 10 + l.ord
+           WHEN 1 THEN coalesce(array_to_string(words[1:2], ' '), '')
+           WHEN 11 THEN coalesce(array_to_string(words[3:6], ' '), '')
+           WHEN 12 THEN coalesce(array_to_string(words[7:9], ' '), '')
+           WHEN 13 THEN '42'
+           WHEN 14 THEN 'ab'
+           WHEN 21 THEN coalesce(array_to_string(words[10:13], ' '), '')
+           ELSE coalesce(array_to_string(words[14:16], ' '), '')
+         END AS line
+  FROM w, (VALUES (0, 1), (1, 1), (1, 2), (1, 3), (1, 4),
+                  (2, 1), (2, 2)) l(slide, ord)),
+kept AS (
+  SELECT doc_id, slide, ord, line
+  FROM lines
+  WHERE length(trim(line)) >= 3
+    AND NOT regexp_matches(lower(trim(line)), '^[0-9.,%/-]+$')),
+slides AS (
+  SELECT w.doc_id, s.slide,
+         coalesce((SELECT string_agg(k.line, chr(10) ORDER BY k.ord)
+                   FROM kept k
+                   WHERE k.doc_id = w.doc_id AND k.slide = s.slide), '')
+           AS stext,
+         CASE s.slide
+           WHEN 1 THEN 'm1-' || CAST(w.doc_id AS VARCHAR)
+           WHEN 2 THEN 'm2-' || CAST(w.doc_id AS VARCHAR)
+           ELSE '' END AS ref
+  FROM w, (SELECT unnest(generate_series(0, 2)) AS slide) s),
+included AS (
+  SELECT * FROM slides WHERE stext != '' OR ref != '')
+SELECT 'pr-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY slide) - 1
+            AS INTEGER) AS slide_seq,
+       stext AS text,
+       ref AS media_ref,
+       CAST({_TOK.format(c="stext")} AS INTEGER) AS token_count
+FROM included
+"""
+
+
 def _q_chunk_paper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """paper_chunk (kernels/chunkers.py, rag/app/paper.py:86-209)
     bit-checked: per document a paper-shaped section list — title box,
@@ -1167,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_naive_docs": _q_chunk_naive_docs,
         "chunk_naive_overlap_docs": _q_chunk_naive_overlap_docs,
         "chunk_hier_docs": _q_chunk_hier_docs,
+        "chunk_manual_docs": _q_chunk_manual_docs,
+        "chunk_presentation_docs": _q_chunk_presentation_docs,
         "chunk_paper_docs": _q_chunk_paper_docs,
         "chunk_picture": _q_chunk_picture,
         "chunk_audio": _q_chunk_audio,
@@ -1237,6 +1440,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_naive_docs": _CHUNK_NAIVE_DOCS_SQL,
         "chunk_naive_overlap_docs": _CHUNK_NAIVE_OVERLAP_DOCS_SQL,
         "chunk_hier_docs": _CHUNK_HIER_DOCS_SQL,
+        "chunk_manual_docs": _CHUNK_MANUAL_DOCS_SQL,
+        "chunk_presentation_docs": _CHUNK_PRESENTATION_DOCS_SQL,
         "chunk_paper_docs": _CHUNK_PAPER_DOCS_SQL,
         "chunk_picture": _CHUNK_PICTURE_SQL,
         "chunk_audio": _CHUNK_AUDIO_SQL,
