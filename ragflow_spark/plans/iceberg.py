@@ -66,3 +66,43 @@ def committed_snapshots(spark: SparkSession, table: str) -> list[int]:
         f"SELECT snapshot_id FROM {table}.history ORDER BY made_current_at"
     ).collect()
     return [int(r["snapshot_id"]) for r in rows]
+
+
+def read_table(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    incremental_from: int | None = None,
+    incremental_to: int | None = None,
+) -> DataFrame:
+    """Read an Iceberg documents table — the north rule's named input
+    (``Iceberg table of interleaved text + media documents``).
+
+    - plain: current snapshot, metadata-pruned scan (Iceberg supplies
+      split planning + column stats; pair with a ``select`` so only
+      (doc_id, spans[, n_spans]) columns reach the scan).
+    - ``snapshot_id``: time-travel read of one committed snapshot —
+      reproducible reruns against the exact input a prior run saw.
+    - ``incremental_from``/``incremental_to``: append-scan of only the
+      rows committed after ``from`` (exclusive) up to ``to`` (inclusive,
+      default current) — the batch twin of the streaming ingest path,
+      and how a resumed run picks up exactly the new documents.
+
+    Raises RuntimeError when the Iceberg runtime is absent — callers
+    fall back to ``spark.read.parquet`` snapshot dirs
+    (plans/checkpoint.py keeps the same snapshot semantics)."""
+    if snapshot_id is not None and incremental_from is not None:
+        raise ValueError("snapshot_id and incremental_from are exclusive")
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath; read the parquet "
+            "snapshot dirs via plans.checkpoint.CheckpointedRun instead"
+        )
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    if incremental_from is not None:
+        reader = reader.option("start-snapshot-id", str(incremental_from))
+        if incremental_to is not None:
+            reader = reader.option("end-snapshot-id", str(incremental_to))
+    return reader.load(table)

@@ -157,3 +157,12 @@ def test_iceberg_gate_and_fallback(spark, docs):
     assert iceberg.iceberg_available(spark) is False
     with _pytest.raises(RuntimeError, match="checkpoint"):
         iceberg.write_snapshot(spark, docs, "local.db.t")
+    # the read path carries the same gate (and validates its contract
+    # before probing the runtime: time-travel and incremental scans are
+    # mutually exclusive)
+    with _pytest.raises(RuntimeError, match="CheckpointedRun"):
+        iceberg.read_table(spark, "local.db.t")
+    with _pytest.raises(ValueError, match="exclusive"):
+        iceberg.read_table(
+            spark, "local.db.t", snapshot_id=1, incremental_from=2
+        )
