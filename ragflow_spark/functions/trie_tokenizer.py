@@ -150,14 +150,17 @@ class TrieTokenizer:
 
     def _merge(self, joined: str) -> str:
         """Re-join adjacent tokens whose concatenation (containing a split
-        char) is itself a dictionary word (rag_tokenizer.py:231-247)."""
+        char) is itself a dictionary word (rag_tokenizer.py:231-247).
+        The dict lookup runs first — it is a hash probe and almost always
+        misses, so the regex (the expensive side of the conjunction)
+        rarely executes."""
         tks = re.sub(r" +", " ", joined).split()
         out, s = [], 0
         while s < len(tks):
             e = s + 1
             for cand_e in range(s + 2, min(len(tks) + 1, s + 6)):
                 tk = "".join(tks[s:cand_e])
-                if self._SPLIT_CHAR.search(tk) and self.freq(tk):
+                if self.freq(tk) and self._SPLIT_CHAR.search(tk):
                     e = cand_e
             out.append("".join(tks[s:e]))
             s = e
@@ -253,7 +256,10 @@ def is_cjk_char(ch: str) -> bool:
 
 
 def full_to_half(s: str) -> str:
-    """Full-width → half-width (rag_tokenizer.py:101-114)."""
+    """Full-width → half-width (rag_tokenizer.py:101-114). ASCII has no
+    full-width characters — skip the per-character scan."""
+    if s.isascii():
+        return s
     out = []
     for ch in s:
         code = ord(ch)
@@ -268,7 +274,11 @@ def full_to_half(s: str) -> str:
 
 def split_by_lang(line: str) -> list[tuple[str, bool]]:
     """Maximal same-language runs: (text, is_cjk)
-    (rag_tokenizer.py:299-320)."""
+    (rag_tokenizer.py:299-320). Pure-ASCII lines (the common case for an
+    english corpus) short-circuit to whitespace words — identical output,
+    no per-character scan."""
+    if line.isascii():
+        return [(w, False) for w in line.split()]
     runs: list[tuple[str, bool]] = []
     for part in re.split(r"(\s+)", line):
         if not part or part.isspace():
@@ -294,6 +304,10 @@ _EN_RULES = [
 ]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def en_normalize(t: str) -> str:
     if not re.match(r"[a-zA-Z_-]+$", t):
         return t
