@@ -1391,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
+        "title_vector_blend": similarity.title_vector_blend,
         "knn_ivf": similarity.knn_ivf,
         # relational surface
         "pricing_summary": relational.pricing_summary,
@@ -1428,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": dedup.EMBEDDING_NEARDUP_SQL,
         "embedding_neardup_lsh": dedup.EMBEDDING_NEARDUP_LSH_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
+        "title_vector_blend": similarity.TITLE_VECTOR_BLEND_SQL,
         "knn_ivf": similarity.KNN_IVF_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "top_revenue_orders": relational.TOP_REVENUE_SQL,

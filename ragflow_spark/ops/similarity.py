@@ -289,3 +289,79 @@ ranked AS (
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id
 FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+def title_vector_blend(
+    spark: SparkSession,
+    sf_dir: str,
+    chunks_per_doc: int = 5,
+    title_w: float = 0.1,
+) -> DataFrame:
+    """Title-vector blend of the reference's embedding stage
+    (rag/svr/task_executor.py:463-476): every chunk's stored vector is
+    ``title_w * title_vec + (1 - title_w) * content_vec`` where the
+    title vector is one shared per-document encode (filename_embd_weight
+    default 0.1), and the field name carries the dimension
+    (``q_%d_vec``). The encode itself is the external-model non-goal;
+    this operator is the blend over already-encoded vectors.
+
+    Shape: embeddings group into documents of ``chunks_per_doc`` rows;
+    the doc's first vector plays the title encode. The title side is
+    corpus-sized/chunks_per_doc, so it joins as a plain shuffle join on
+    the doc key — AQE may broadcast it at small scale, and at 10^9 rows
+    the same plan degrades to sort-merge instead of a forced broadcast.
+    Blend is a JVM ``zip_with`` in double precision (codegen, no
+    Python); the first 8 components project out rounded to 6 decimals
+    (CLAUDE invariant: round floats on both engines)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doc = (F.col("vec_id") - F.col("vec_id") % chunks_per_doc) / chunks_per_doc
+    e = emb.withColumn("doc", doc.cast("long"))
+    titles = e.where(F.col("vec_id") % chunks_per_doc == 0).select(
+        F.col("doc"), F.col("embedding").alias("tv")
+    )
+    blended = e.join(titles, "doc").select(
+        "vec_id",
+        F.concat(
+            F.lit("q_"), F.size("embedding").cast("string"), F.lit("_vec")
+        ).alias("q_vec_field"),
+        F.zip_with(
+            "tv",
+            "embedding",
+            lambda t, c: t.cast("double") * F.lit(title_w)
+            # round-trip: raw 1.0-0.1 is 0.8999999999999999, NOT the
+            # double the oracle's literal 0.9 parses to
+            + c.cast("double") * F.lit(round(1.0 - title_w, 12)),
+        ).alias("v"),
+    )
+    cols = [
+        F.round(F.element_at("v", i + 1), 6).alias(f"v{i}") for i in range(8)
+    ]
+    return blended.select("vec_id", "q_vec_field", *cols)
+
+
+TITLE_VECTOR_BLEND_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding, vec_id // 5 AS doc
+  FROM embeddings),
+t AS (
+  SELECT doc, embedding AS tv FROM e WHERE vec_id % 5 = 0)
+SELECT e.vec_id,
+       'q_' || CAST(len(e.embedding) AS VARCHAR) || '_vec' AS q_vec_field,
+       round(CAST(t.tv[1] AS DOUBLE) * 0.1
+             + CAST(e.embedding[1] AS DOUBLE) * 0.9, 6) AS v0,
+       round(CAST(t.tv[2] AS DOUBLE) * 0.1
+             + CAST(e.embedding[2] AS DOUBLE) * 0.9, 6) AS v1,
+       round(CAST(t.tv[3] AS DOUBLE) * 0.1
+             + CAST(e.embedding[3] AS DOUBLE) * 0.9, 6) AS v2,
+       round(CAST(t.tv[4] AS DOUBLE) * 0.1
+             + CAST(e.embedding[4] AS DOUBLE) * 0.9, 6) AS v3,
+       round(CAST(t.tv[5] AS DOUBLE) * 0.1
+             + CAST(e.embedding[5] AS DOUBLE) * 0.9, 6) AS v4,
+       round(CAST(t.tv[6] AS DOUBLE) * 0.1
+             + CAST(e.embedding[6] AS DOUBLE) * 0.9, 6) AS v5,
+       round(CAST(t.tv[7] AS DOUBLE) * 0.1
+             + CAST(e.embedding[7] AS DOUBLE) * 0.9, 6) AS v6,
+       round(CAST(t.tv[8] AS DOUBLE) * 0.1
+             + CAST(e.embedding[8] AS DOUBLE) * 0.9, 6) AS v7
+FROM e JOIN t USING (doc)
+"""
