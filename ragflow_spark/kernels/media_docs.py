@@ -215,3 +215,26 @@ def resume_doc(filename: str, parsed: dict) -> dict | None:
             v = fine_grained_tokenize(str(v))
         doc[n] = v
     return doc
+
+
+def clean_markdown_block(text: str) -> str:
+    """Strip the ```markdown fence a vision LLM wraps its answer in
+    (rag/utils/__init__.py:97-100) — the local half of
+    ``vision_llm_chunk`` (rag/app/picture.py:68-94); the model call is
+    the injectable seam, same as ``picture_doc``'s describe hook."""
+    text = re.sub(r"^\s*```markdown\s*\n?", "", text)
+    text = re.sub(r"\n?\s*```\s*$", "", text)
+    return text.strip()
+
+
+def vision_llm_doc(filename: str, describe=None) -> str:
+    """vision_llm_chunk (rag/app/picture.py:68-94): the model's markdown
+    answer, fence-stripped, prefixed with the reference's newline. Empty
+    string on a missing/failing model — the reference's exception path."""
+    if describe is None:
+        return ""
+    try:
+        ans = clean_markdown_block(describe(filename))
+    except Exception:
+        return ""
+    return "\n" + ans

@@ -146,3 +146,20 @@ def test_oracle_token_constants():
     assert tokenize("img_123") == "img_123"
     assert tokenize("rec_42") == "rec_42"
     assert len(RESUME_FIELD_MAP) == 25
+
+
+def test_clean_markdown_block_and_vision_doc():
+    from ragflow_spark.kernels.media_docs import (
+        clean_markdown_block,
+        vision_llm_doc,
+    )
+
+    assert clean_markdown_block("```markdown\n# t\nbody\n```") == "# t\nbody"
+    assert clean_markdown_block("no fence") == "no fence"
+    assert vision_llm_doc("i.jpg") == ""
+    assert vision_llm_doc("i.jpg", lambda f: "```markdown\nx\n```") == "\nx"
+
+    def boom(f):
+        raise RuntimeError("no model")
+
+    assert vision_llm_doc("i.jpg", boom) == ""
