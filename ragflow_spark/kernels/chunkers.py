@@ -598,21 +598,18 @@ QUESTION_DIALECTS = [
 
 
 def qbullets_category(sections: list[str]) -> tuple[int, re.Pattern | None]:
-    """Pick the question-bullet dialect with the most matching sections
-    (rag/nlp/__init__.py:150-165).
-
-    Documented deviation: the reference ``break``s after the FIRST matching
-    section per pattern, so its per-dialect hit counts are always 0 or 1 and
-    ties resolve to the earliest dialect; this engine counts ALL matching
-    sections, so on corpora where several dialects each match at least once
-    the argmax can differ (the count is the more faithful reading of
-    "category by frequency"; on the fixtures the two coincide)."""
-    best, best_hits = -1, 0
+    """Pick the question-bullet dialect (rag/nlp/__init__.py:150-165),
+    faithfully: the reference ``break``s after the FIRST matching section
+    per pattern, so per-pattern hits are 0/1 and the argmax (with its
+    ``h <= maxium: continue`` tie rule) reduces to the EARLIEST pattern
+    in the list with any matching non-not_bullet section — not the
+    most-frequently-matching one."""
     for i, pat in enumerate(QUESTION_DIALECTS):
-        hits = sum(1 for s in sections if pat.match((s or "").strip()))
-        if hits > best_hits:
-            best, best_hits = i, hits
-    return best, (QUESTION_DIALECTS[best] if best >= 0 else None)
+        for s in sections:
+            t = (s or "").strip()
+            if pat.match(t) and not not_bullet(t):
+                return i, QUESTION_DIALECTS[i]
+    return -1, None
 
 
 _Q_TAIL = r"(\w|\W)*?(?:？|\?|\n|$)+"
