@@ -171,3 +171,51 @@ def test_qa_tabular_conserves_fields(lines):
     for q, a in pairs:
         for frag in [q] + a.split("\n"):
             assert frag == "" or frag in blob
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=20))
+def test_manual_chunk_conserves_text(sections):
+    """The manual fold only glues or breaks — joined chunk text equals the
+    joined section text (no loss, no reorder, no duplication)."""
+    from ragflow_spark.kernels.chunkers import manual_chunk
+
+    secs = [(s, "text") for s in sections]
+    chunks = manual_chunk(secs)
+    assert "\n".join(chunks) == "\n".join(sections)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["txt", "figure"]),
+            st.text(alphabet="abcdefg 12.%\n", max_size=40),
+            st.sampled_from(["", "m1", "m2"]),
+        ),
+        max_size=12,
+    )
+)
+def test_presentation_chunk_invariants(spans):
+    """Every surviving line is a non-garbage line of the input, in order;
+    every media ref of a figure span with a ref appears exactly once."""
+    import re as _re
+
+    from ragflow_spark.kernels.chunkers import presentation_chunk
+
+    texts, refs = presentation_chunk(spans)
+    assert len(texts) == len(refs)
+    garbage = _re.compile(r"[0-9.,%/-]+$")
+    src_lines = [
+        ln
+        for _, text, _ in spans
+        for ln in (text or "").split("\n")
+        if ln.strip()
+        and len(ln.strip().lower()) >= 3
+        and not garbage.match(ln.strip().lower())
+    ]
+    out_lines = [ln for t in texts for ln in t.split("\n") if ln]
+    assert out_lines == src_lines
+    want_refs = [r for k, _, r in spans if k == "figure" and r]
+    got_refs = [r for rs in refs for r in rs]
+    assert got_refs == want_refs
