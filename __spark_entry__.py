@@ -610,6 +610,129 @@ FROM united
 """
 
 
+def _q_chunk_book_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """book_chunk DISPATCH (kernels/chunkers.py, rag/app/book.py:131-143)
+    bit-checked: even doc_ids get the chunk_hier_docs section shape (the
+    'Chapter 1' bullet makes bullets_category pick the EN dialect →
+    hierarchical route), odd doc_ids get plain 5-word sections (no bullet
+    → naive route at the same budget 16). The oracle is the union of the
+    two existing fold oracles filtered by parity — so this query checks
+    that the dispatch itself (ToC removal and colon-title passes being
+    no-ops here) reproduces each route's exact output."""
+    import pandas as pd
+
+    from ragflow_spark.functions.tokens import num_tokens
+    from ragflow_spark.kernels.chunkers import book_chunk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, texts, toks = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = (text or "").split()
+                if doc_id % 2 == 0:
+                    secs = [
+                        (" ".join(w[2 * i:2 * i + 2] * 24), "text")
+                        for i in range(4)
+                    ]
+                    secs.append(("Chapter 1", "text"))
+                    secs.append((" ".join(w[8:11]), "text"))
+                    secs.append((" ".join(w[11:14]), "text"))
+                else:
+                    secs = [
+                        (" ".join(w[i:i + 5]) + "\n", "text")
+                        for i in range(0, len(w), 5)
+                    ]
+                for i, ck in enumerate(book_chunk(secs, True, 16, "\n")):
+                    ids.append(f"bk-{doc_id}")
+                    seqs.append(i)
+                    texts.append(ck)
+                    toks.append(num_tokens(ck))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_seq": seqs,
+                    "text": texts,
+                    "token_count": toks,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, chunk_seq int, text string, token_count int",
+    )
+
+
+def _q_chunk_laws_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """laws_chunk dispatch (kernels/chunkers.py, rag/app/laws.py:143-211):
+    same two-route structure as chunk_book_docs (bullet → hierarchical
+    depth 5, none → naive fallback) minus the ToC/colon passes, plus the
+    empty-section filter. Oracled by the same parity union."""
+    import pandas as pd
+
+    from ragflow_spark.functions.tokens import num_tokens
+    from ragflow_spark.kernels.chunkers import laws_chunk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, texts, toks = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = (text or "").split()
+                if doc_id % 2 == 0:
+                    secs = [
+                        (" ".join(w[2 * i:2 * i + 2] * 24), "text")
+                        for i in range(4)
+                    ]
+                    secs.append(("Chapter 1", "text"))
+                    secs.append((" ".join(w[8:11]), "text"))
+                    secs.append((" ".join(w[11:14]), "text"))
+                else:
+                    secs = [
+                        (" ".join(w[i:i + 5]) + "\n", "text")
+                        for i in range(0, len(w), 5)
+                    ]
+                for i, ck in enumerate(laws_chunk(secs, True, 16, "\n")):
+                    ids.append(f"lw-{doc_id}")
+                    seqs.append(i)
+                    texts.append(ck)
+                    toks.append(num_tokens(ck))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_seq": seqs,
+                    "text": texts,
+                    "token_count": toks,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, chunk_seq int, text string, token_count int",
+    )
+
+
+# dispatch oracle = union of the two route oracles, parity-filtered; the
+# subqueries carry their own WITH RECURSIVE blocks
+_CHUNK_BOOK_DOCS_SQL = f"""
+SELECT 'bk-' || substr(doc_id, 4) AS doc_id, chunk_seq, text, token_count
+FROM ({_CHUNK_HIER_DOCS_SQL}) h
+WHERE CAST(substr(doc_id, 4) AS BIGINT) % 2 = 0
+UNION ALL
+SELECT 'bk-' || substr(doc_id, 4) AS doc_id, chunk_seq, text, token_count
+FROM ({_CHUNK_NAIVE_DOCS_SQL}) n
+WHERE CAST(substr(doc_id, 4) AS BIGINT) % 2 = 1
+"""
+
+_CHUNK_LAWS_DOCS_SQL = _CHUNK_BOOK_DOCS_SQL.replace("'bk-'", "'lw-'")
+
+
 def _q_chunk_manual_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """manual_chunk (kernels/chunkers.py, rag/app/manual.py:214-253)
     bit-checked: per document eight sections — three 'Chapter N' bullet
@@ -1368,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_naive_docs": _q_chunk_naive_docs,
         "chunk_naive_overlap_docs": _q_chunk_naive_overlap_docs,
         "chunk_hier_docs": _q_chunk_hier_docs,
+        "chunk_book_docs": _q_chunk_book_docs,
+        "chunk_laws_docs": _q_chunk_laws_docs,
         "chunk_manual_docs": _q_chunk_manual_docs,
         "chunk_presentation_docs": _q_chunk_presentation_docs,
         "chunk_paper_docs": _q_chunk_paper_docs,
@@ -1442,6 +1567,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_naive_docs": _CHUNK_NAIVE_DOCS_SQL,
         "chunk_naive_overlap_docs": _CHUNK_NAIVE_OVERLAP_DOCS_SQL,
         "chunk_hier_docs": _CHUNK_HIER_DOCS_SQL,
+        "chunk_book_docs": _CHUNK_BOOK_DOCS_SQL,
+        "chunk_laws_docs": _CHUNK_LAWS_DOCS_SQL,
         "chunk_manual_docs": _CHUNK_MANUAL_DOCS_SQL,
         "chunk_presentation_docs": _CHUNK_PRESENTATION_DOCS_SQL,
         "chunk_paper_docs": _CHUNK_PAPER_DOCS_SQL,
