@@ -733,6 +733,56 @@ WHERE CAST(substr(doc_id, 4) AS BIGINT) % 2 = 1
 _CHUNK_LAWS_DOCS_SQL = _CHUNK_BOOK_DOCS_SQL.replace("'bk-'", "'lw-'")
 
 
+def _q_chunk_email_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """email_chunk (kernels/chunkers.py, rag/app/email.py:85): the body
+    reduces to naive_merge at the email default budget 128 — oracled by
+    the naive fold CTE with the budget substituted, so the email entry
+    point's budget plumbing is what this checks."""
+    import pandas as pd
+
+    from ragflow_spark.functions.tokens import num_tokens
+    from ragflow_spark.kernels.chunkers import email_chunk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, seqs, texts, toks = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split()
+                sections = [
+                    " ".join(words[i:i + 5]) + "\n"
+                    for i in range(0, len(words), 5)
+                ]
+                for i, ck in enumerate(
+                    email_chunk(sections, chunk_token_num=128, delimiter="\n")
+                ):
+                    ids.append(f"em-{doc_id}")
+                    seqs.append(i)
+                    texts.append(ck)
+                    toks.append(num_tokens(ck))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_seq": seqs,
+                    "text": texts,
+                    "token_count": toks,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id string, chunk_seq int, text string, token_count int",
+    )
+
+
+_CHUNK_EMAIL_DOCS_SQL = (
+    _CHUNK_NAIVE_DOCS_SQL.replace("> 16", "> 128").replace("'nv-'", "'em-'")
+)
+
+
 def _q_chunk_manual_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """manual_chunk (kernels/chunkers.py, rag/app/manual.py:214-253)
     bit-checked: per document eight sections — three 'Chapter N' bullet
@@ -1493,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_hier_docs": _q_chunk_hier_docs,
         "chunk_book_docs": _q_chunk_book_docs,
         "chunk_laws_docs": _q_chunk_laws_docs,
+        "chunk_email_docs": _q_chunk_email_docs,
         "chunk_manual_docs": _q_chunk_manual_docs,
         "chunk_presentation_docs": _q_chunk_presentation_docs,
         "chunk_paper_docs": _q_chunk_paper_docs,
@@ -1569,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_hier_docs": _CHUNK_HIER_DOCS_SQL,
         "chunk_book_docs": _CHUNK_BOOK_DOCS_SQL,
         "chunk_laws_docs": _CHUNK_LAWS_DOCS_SQL,
+        "chunk_email_docs": _CHUNK_EMAIL_DOCS_SQL,
         "chunk_manual_docs": _CHUNK_MANUAL_DOCS_SQL,
         "chunk_presentation_docs": _CHUNK_PRESENTATION_DOCS_SQL,
         "chunk_paper_docs": _CHUNK_PAPER_DOCS_SQL,
