@@ -783,6 +783,55 @@ _CHUNK_EMAIL_DOCS_SQL = (
 )
 
 
+def _q_chunk_one_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """one_chunk (ops/assembly.py, rag/app/one.py:28-132): whole document
+    = one chunk in reading order. Each document explodes into three
+    word-third spans with seq numbers shuffled into the row order (2,0,1)
+    so the sort_array inside the aggregation actually proves order
+    restoration; the oracle re-joins the thirds in seq order."""
+    from ragflow_spark.ops import assembly as _asm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = F.split(F.trim("text"), r"\s+")
+    n = F.size(words)
+    third = (n + F.lit(2)) / F.lit(3)
+    k = F.ceil(third).cast("int")
+    piece = lambda a, b: F.array_join(  # noqa: E731
+        F.slice(words, a + 1, F.greatest(b - a, F.lit(0))), " "
+    )
+    spans = docs.select(
+        F.concat(F.lit("on-"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).alias("seq"), piece(k * 2, n).alias("text")),
+                F.struct(F.lit(0).alias("seq"), piece(F.lit(0), k).alias("text")),
+                F.struct(F.lit(1).alias("seq"), piece(k, k * 2).alias("text")),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.seq", "s.text")
+    return _asm.one_chunk(spans)
+
+
+_CHUNK_ONE_DOCS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words,
+         CAST(ceil((len(words) + 2) / 3.0) AS INT) AS k
+  FROM documents)
+SELECT 'on-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       'one' AS chunker,
+       CAST(0 AS INTEGER) AS chunk_seq,
+       coalesce(array_to_string(words[1:k], ' '), '') || chr(10) ||
+       coalesce(array_to_string(words[k + 1:2 * k], ' '), '') || chr(10) ||
+       coalesce(array_to_string(words[2 * k + 1:len(words)], ' '), '')
+         AS text
+FROM w
+"""
+
+
 def _q_chunk_manual_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """manual_chunk (kernels/chunkers.py, rag/app/manual.py:214-253)
     bit-checked: per document eight sections — three 'Chapter N' bullet
@@ -1544,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_book_docs": _q_chunk_book_docs,
         "chunk_laws_docs": _q_chunk_laws_docs,
         "chunk_email_docs": _q_chunk_email_docs,
+        "chunk_one_docs": _q_chunk_one_docs,
         "chunk_manual_docs": _q_chunk_manual_docs,
         "chunk_presentation_docs": _q_chunk_presentation_docs,
         "chunk_paper_docs": _q_chunk_paper_docs,
@@ -1621,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_book_docs": _CHUNK_BOOK_DOCS_SQL,
         "chunk_laws_docs": _CHUNK_LAWS_DOCS_SQL,
         "chunk_email_docs": _CHUNK_EMAIL_DOCS_SQL,
+        "chunk_one_docs": _CHUNK_ONE_DOCS_SQL,
         "chunk_manual_docs": _CHUNK_MANUAL_DOCS_SQL,
         "chunk_presentation_docs": _CHUNK_PRESENTATION_DOCS_SQL,
         "chunk_paper_docs": _CHUNK_PAPER_DOCS_SQL,
