@@ -376,7 +376,8 @@ secs AS (
   SELECT doc_id, g.s AS seq,
          coalesce(array_to_string(words[(g.s - 1) * 5 + 1 : g.s * 5], ' '), '')
            || chr(10) AS sect
-  FROM w, (SELECT unnest(generate_series(1, 20)) AS s) g
+  -- 80 sections = 400-word headroom over the current 100-word corpus max
+  FROM w, (SELECT unnest(generate_series(1, 80)) AS s) g
   WHERE (g.s - 1) * 5 < len(words)),
 tok AS (
   SELECT doc_id, seq, sect,
@@ -462,7 +463,8 @@ secs AS (
   SELECT doc_id, g.s AS seq,
          coalesce(array_to_string(words[(g.s - 1) * 5 + 1 : g.s * 5], ' '), '')
            || chr(10) AS sect
-  FROM w, (SELECT unnest(generate_series(1, 20)) AS s) g
+  -- 80 sections = 400-word headroom over the current 100-word corpus max
+  FROM w, (SELECT unnest(generate_series(1, 80)) AS s) g
   WHERE (g.s - 1) * 5 < len(words)),
 tok AS (
   SELECT doc_id, seq, sect,
@@ -1175,7 +1177,7 @@ suf AS (
   SELECT doc_id, g.i AS i,
          words[g.i] || (['', 's', 'ing', 'ed', 'ies'])[((g.i - 1) % 5) + 1]
            AS sw
-  FROM w, (SELECT unnest(generate_series(1, 110)) AS i) g
+  FROM w, (SELECT unnest(generate_series(1, 400)) AS i) g
   WHERE g.i <= len(words)),
 norm1 AS (
   SELECT doc_id, i, sw, {_ENN.format(c="sw")} AS t1 FROM suf),
@@ -1239,12 +1241,8 @@ def _q_chunk_picture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ragflow_spark.functions.trie_tokenizer import (  # noqa: E402
-    EN_NORM_DUCK_SQL as _ENN2,
-)
-
-_ENN_W = _ENN2.format(c="w")
-_ENN_WW = _ENN2.format(c=_ENN_W)
+_ENN_W = _ENN.format(c="w")
+_ENN_WW = _ENN.format(c=_ENN_W)
 
 
 # tokenize == per-word en_normalize for pure-\w english text; the second

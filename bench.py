@@ -81,7 +81,7 @@ def main() -> None:
         # size splits to ~4 tasks/core so local[32] isn't starved at the
         # bench corpus size (split floor = one parquet row group)
         cpus = (
-            int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
+            int(os.environ.get("SPARK_GRAFT_CPUS") or 0)
             or os.cpu_count()
             or 8
         )

@@ -130,13 +130,16 @@ class TrieTokenizer:
             if s >= n:
                 outs.append(acc)
                 continue
-            # longest candidates first so greedy-looking splits surface early
+            # longest candidates first so greedy-looking splits surface
+            # early: the stack pops the LAST pushed, so push ascending —
+            # the longest end lands on top (pushing reversed would explore
+            # fully-atomized splits first and exhaust the cap on them)
             ends = [
                 e
                 for e in range(s + 1, n + 1)
                 if e == s + 1 or text[s:e] in self._dict
             ]
-            for e in reversed(ends):
+            for e in ends:
                 stack.append((e, acc + [text[s:e]]))
         return outs
 

@@ -24,8 +24,9 @@ from ragflow_spark.functions.trie_tokenizer import (
 )
 
 # reference tokenize() strips these before building ltks
-# (rag/nlp/__init__.py:261)
-_TABLE_TAG_RE = re.compile(r"</?(table|td|caption|tr|th)( [^<>]{0,12})?>")
+# (rag/nlp/__init__.py:261); the single shared copy of the tag-strip
+# contract — operators/extract imports it too
+TABLE_TAG_RE = re.compile(r"</?(table|td|caption|tr|th)( [^<>]{0,12})?>")
 
 _EXT_RE = re.compile(r"\.[a-zA-Z]+$")
 
@@ -49,7 +50,7 @@ def doc_text_fields(doc: dict, text: str) -> dict:
     tokenizer builds ``content_ltks``; ``content_sm_ltks`` is the
     fine-grained re-split."""
     doc["content_with_weight"] = text
-    stripped = _TABLE_TAG_RE.sub(" ", text)
+    stripped = TABLE_TAG_RE.sub(" ", text)
     doc["content_ltks"] = tokenize(stripped)
     doc["content_sm_ltks"] = fine_grained_tokenize(doc["content_ltks"])
     return doc
@@ -108,14 +109,14 @@ def audio_doc(
     ext = (dot + tail).lower() if base else ""
     if not ext or ext not in AUDIO_EXTS:
         return None
+    if transcription is None:
+        return None
     title_tks = tokenize(_EXT_RE.sub("", filename))
     doc = {
         "docnm_kwd": filename,
         "title_tks": title_tks,
         "title_sm_tks": fine_grained_tokenize(title_tks),
     }
-    if transcription is None:
-        return None
     return doc_text_fields(doc, transcription)
 
 

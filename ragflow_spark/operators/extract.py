@@ -300,7 +300,8 @@ def chunk_stage(
     return out_spans.groupBy("doc_id").applyInPandas(run, schema=CHUNKS_SCHEMA)
 
 
-_TABLE_TAG_RE = r"</?(table|td|caption|tr|th)( [^<>]{0,12})?>"
+# single shared tag-strip contract (rag/nlp/__init__.py:261)
+from ragflow_spark.kernels.media_docs import TABLE_TAG_RE as _TABLE_TAG
 
 
 def with_ltks(chunks: DataFrame) -> DataFrame:
@@ -329,7 +330,7 @@ def with_ltks(chunks: DataFrame) -> DataFrame:
             stripped = (
                 pdf["text"]
                 .fillna("")
-                .map(lambda t: _re.sub(_TABLE_TAG_RE, " ", t))
+                .map(lambda t: _TABLE_TAG.sub(" ", t))
             )
             pdf = pdf.copy()
             pdf["content_ltks"] = stripped.map(tokenize)
@@ -372,7 +373,7 @@ def assemble_es_docs(chunks: DataFrame, docnm_col: str = "docnm") -> DataFrame:
         ]
     )
     ext_re = _re.compile(r"\.[a-zA-Z]+$")
-    table_re = _re.compile(_TABLE_TAG_RE)
+    table_re = _TABLE_TAG
 
     def run(batches):
         from ragflow_spark.functions.trie_tokenizer import (

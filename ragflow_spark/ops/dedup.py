@@ -204,30 +204,30 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    # candidate pairs via bucket groupBy + in-array pair expansion, NOT a
-    # buckets self-join: a self-join recomputes the whole signature
-    # aggregation on both sides (AQE's broadcast-side subtrees defeat
-    # exchange reuse — measured 2x sig cost), while the groupBy shuffles the
-    # same (band, bh, doc_id) volume exactly once. Within a bucket the pair
-    # expansion is a JVM array transform; bucket fan-out stays bounded by
-    # band-hash selectivity, and AQE skew-split covers a degenerate bucket.
-    grouped = buckets.groupBy("band", "bh").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    # candidate pairs via a buckets self-join FORCED to shuffle on both
+    # sides (shuffle_merge hint): the two sides are identical subtrees
+    # hash-partitioned on (band, bh), so ReuseExchange computes the
+    # signature aggregation ONCE (a plain self-join lets AQE broadcast one
+    # side, whose broadcast subtree defeats exchange reuse — measured 2x
+    # sig cost). Pairs stream row-by-row out of the sort-merge join, so a
+    # degenerate bucket of b docs emits b^2/2 ROWS across tasks instead of
+    # one b^2/2-element array in a single row (the collect_list+flatten
+    # formulation OOMs on large near-dup cliques at scale).
+    ba = buckets.alias("ba").hint("shuffle_merge")
+    bb = buckets.alias("bb").hint("shuffle_merge")
     cand = (
-        grouped.where(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        ba.join(
+            bb,
+            [
+                F.col("ba.band") == F.col("bb.band"),
+                F.col("ba.bh") == F.col("bb.bh"),
+                F.col("ba.doc_id") < F.col("bb.doc_id"),
+            ],
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
     # verify candidates with exact jaccard (shingle join restricted to pairs)

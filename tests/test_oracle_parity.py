@@ -23,6 +23,16 @@ SUBSET = [
     "knn_bruteforce",
     "pricing_summary",
     "sessionize",
+    # round-3 families: chunker folds, dispatch union, model-fronted doc
+    # assembly, tokenizer-backed docs, embedding blend
+    "chunk_naive_docs",
+    "chunk_book_docs",
+    "chunk_manual_docs",
+    "chunk_presentation_docs",
+    "chunk_resume",
+    "chunk_audio",
+    "es_docs",
+    "title_vector_blend",
 ]
 
 

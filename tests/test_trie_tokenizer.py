@@ -80,3 +80,20 @@ def test_with_ltks_columns(spark):
     assert out["d1"]["content_ltks"] == "table sort"
     assert out["d2"]["content_ltks"] == "中华人民共和国"
     assert out["d2"]["content_sm_ltks"] == "中华 人民 共和国"
+
+
+def test_segmentation_cap_reaches_greedy_split():
+    """DFS must explore longest candidates first: under the 256-result cap
+    the fully-greedy segmentation of a long repeated-word string has to be
+    among the enumerated set (a shortest-first order exhausts the cap on
+    near-atomized prefixes and never reaches it)."""
+    from ragflow_spark.functions.trie_tokenizer import TrieTokenizer
+
+    tt = TrieTokenizer(
+        [("ab", 5, "n"), ("abc", 6, "n"), ("bc", 5, "n"),
+         ("cd", 5, "n"), ("abcd", 7, "n")]
+    )
+    segs = tt._segmentations("abcd" * 5)
+    assert ["abcd"] * 5 in segs
+    # and the winner contains no single-char atomization
+    assert all(len(t) >= 2 for t in tt._best_segmentations("abcd" * 5)[0])
