@@ -1557,6 +1557,162 @@ WHERE trim(ctext) != ''
 """
 
 
+def _q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE extraction pipeline, driver-oracled end-to-end: each documents
+    row becomes a deterministic boilerplate-wrapped HTML page (nav/sidebar
+    link bars, a content div of 8-word paragraphs each carrying an inline
+    <a> link, a tracking script, a copyright footer), wrapped as ONE
+    kind='html' span and pushed through the REAL distributed operator
+    (operators.extract.extract_spans → strip_span → html_main_content's
+    readability scoring — deepdoc/parser/html_parser.py:30-49 analog).
+    The closed-form oracle is the content the scorer must keep: the title
+    plus exactly the paragraph texts (whitespace-normalized, inline link
+    text flattened in place), with every nav/sidebar/footer/script line
+    stripped. Bit-equality proves prune (UNLIKELY class drop), candidate
+    scoring (content div wins body), link-density discount, block
+    extraction, and \\s+ normalization all at once."""
+    from ragflow_spark.operators.extract import extract_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = F.split(F.trim("text"), r"\s+")
+    g = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+
+    def para(s):
+        return F.concat(
+            F.lit("<p>"),
+            F.array_join(F.slice(words, (s - 1) * 8 + 1, 8), " "),
+            F.lit(', as noted in <a href="/p">part '),
+            s.cast("string"),
+            F.lit("</a> of this report.</p>"),
+        )
+
+    html = F.concat(
+        F.lit("<html><head><title>Report "),
+        F.array_join(F.slice(words, 1, 2), " "),
+        F.lit(
+            "</title></head><body>\n"
+            '<div class="navbar"><a href="/">home</a> '
+            '<a href="/about">about</a></div>\n'
+            '<div class="sidebar"><a href="/x">more links</a> '
+            '<a href="/y">other pages</a></div>\n'
+            '<div class="content">\n'
+        ),
+        F.array_join(F.transform(F.sequence(F.lit(1), g), para), "\n"),
+        F.lit(
+            "\n<script>var tracking = 1;</script>\n</div>\n"
+            '<div class="footer"><p>copyright 2024, all rights reserved '
+            "to the publisher.</p></div>\n</body></html>"
+        ),
+    )
+    spans_df = docs.select(
+        F.concat(F.lit("ht-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                html.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return extract_spans(spans_df).select("doc_id", "seq", "kind", "text")
+
+
+# 40 paragraphs = 320-word headroom over the current 100-word corpus max
+# (fold-oracle generate_series headroom invariant, CLAUDE.md)
+_EXTRACT_DOCS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+secs AS (
+  SELECT doc_id, 0 AS seq, 'title' AS kind,
+         'Report ' || coalesce(array_to_string(words[1:2], ' '), '') AS text
+  FROM w
+  UNION ALL
+  SELECT doc_id, g.s, 'text',
+         coalesce(array_to_string(words[(g.s - 1) * 8 + 1 : g.s * 8], ' '), '')
+           || ', as noted in part ' || CAST(g.s AS VARCHAR)
+           || ' of this report.'
+  FROM w, (SELECT unnest(generate_series(1, 40)) AS s) g
+  WHERE (g.s - 1) * 8 < len(words))
+SELECT 'ht-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(seq AS INTEGER) AS seq, kind, text
+FROM secs
+"""
+
+
+def _q_layout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PDF-layout stage, driver-oracled analytically: each documents
+    row becomes a scrambled two-column page of geometry spans — a
+    split-in-two first line (horizontal merge), three left-column and two
+    right-column body lines (column detect + reading order + vertical
+    merge), two position-dropped repeated footers, a dropped header, and a
+    '3 / 8' junk line — pushed through the REAL distributed operator
+    (extract_spans → layout_doc: drop_junk/drop_garbage/sort_y/
+    reading_order/horizontal_merge/vertical_merge/filter_scraps,
+    kernels/layout.py; reference pdf_parser.py:182-195, 374-479,
+    layout_recognizer.py:116-162). The closed form: the whole left column
+    folds into one span, the right column into a second — pure word-slice
+    joins. Relies on the all-lowercase-ascii corpus (first chars are latin
+    → bullet_merge no-op; no sentence-end periods)."""
+    from ragflow_spark.operators.extract import extract_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = F.split(F.trim("text"), r"\s+")
+
+    def jn(a: int, b: int):  # 1-based inclusive word-slice join
+        return F.array_join(F.slice(words, a, b - a + 1), " ")
+
+    def span(off: int, kind: str, text, geom: str):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (F.lit(text) if isinstance(text, str) else text).alias("text"),
+            F.lit("geom://" + geom).alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+
+    # visual layout (page 0): left col x∈[30,280] rows at top 50/70/90,
+    # right col x∈[330,580] rows at top 56/76 (offset 6 > mean_h/3 so no
+    # cross-column same-line merge); input array order is scrambled
+    spans = F.array(
+        span(0, "text", jn(7, 8), "0,30,280,90,102"),            # L3
+        span(1, "text", jn(10, 10), "0,330,580,76,88"),          # R2
+        span(2, "footer", "confidential draft", "0,30,580,778,790"),
+        span(3, "text", jn(3, 4), "0,152,280,50,62"),            # L1b
+        span(4, "text", "3 / 8", "0,300,320,400,412"),           # junk
+        span(5, "text", jn(9, 9), "0,330,580,56,68"),            # R1
+        span(6, "header", "running head", "0,30,580,10,22"),
+        span(7, "text", jn(5, 6), "0,30,280,70,82"),             # L2
+        span(8, "text", jn(1, 2), "0,30,150,50,62"),             # L1a
+        span(9, "footer", "confidential draft", "0,30,580,779,791"),
+    )
+    spans_df = docs.select(
+        F.concat(F.lit("ly-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        spans.alias("spans"),
+    )
+    return extract_spans(spans_df).select("doc_id", "seq", "kind", "text")
+
+
+_LAYOUT_DOCS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents)
+SELECT 'ly-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(0 AS INTEGER) AS seq, 'text' AS kind,
+       coalesce(array_to_string(words[1:8], ' '), '') AS text
+FROM w
+UNION ALL
+SELECT 'ly-' || CAST(doc_id AS VARCHAR),
+       CAST(1 AS INTEGER), 'text',
+       coalesce(array_to_string(words[9:10], ' '), '')
+FROM w
+"""
+
+
 def _q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_inventory(spark, sf_dir)
 
@@ -1572,19 +1728,15 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered ORACLED-FIRST: the driver's correctness file records only the
+    first 50 entries, so every query carrying a DuckDB oracle must precede
+    the rows-only corpus queries (the round-3 window-overflow lesson)."""
     return {
-        # extraction core (SURVEY.md §2.1-2.2; rows-only — per-doc kernels)
-        "extract_spans": _q_extract,
-        "chunk_naive": _mk_chunk("naive", 512),
-        "chunk_book": _mk_chunk("book", 256),
-        "chunk_paper": _mk_chunk("paper", 512),
-        "chunk_laws": _mk_chunk("laws", 512),
-        "chunk_manual": _mk_chunk("manual", 512),
-        "chunk_email": _mk_chunk("email", 128),
-        "chunk_presentation": _mk_chunk("presentation", 512),
+        # extraction pipeline, driver-oracled (bit-checked vs DuckDB)
+        "extract_docs": _q_extract_docs,
+        "layout_docs": _q_layout_docs,
         "chunk_tag": _q_chunk_tag,
         "chunk_qa": _q_chunk_qa,
-        "chunk_one": _q_chunk_one,
         "chunk_naive_docs": _q_chunk_naive_docs,
         "chunk_naive_overlap_docs": _q_chunk_naive_overlap_docs,
         "chunk_hier_docs": _q_chunk_hier_docs,
@@ -1633,15 +1785,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_features": retrieval.tag_features,
         # schema inference (rag/app/table.py:263-299 analog)
         "infer_column_types": schema_infer.infer_column_types,
-        # multimodal plumbing (rows-only — stubbed decode)
+        # multimodal plumbing (stubbed decode, SQL-reproducible)
         "media_inventory": _q_media_inventory,
         "image_features": _q_image_features,
         "frame_sample": _q_frame_sample,
+        # ---- rows-only corpus queries (no oracle; pytest-bit-checked vs
+        # extract_doc) — keep BELOW every oracled entry (50-entry window)
+        "extract_spans": _q_extract,
+        "chunk_naive": _mk_chunk("naive", 512),
+        "chunk_book": _mk_chunk("book", 256),
+        "chunk_paper": _mk_chunk("paper", 512),
+        "chunk_laws": _mk_chunk("laws", 512),
+        "chunk_manual": _mk_chunk("manual", 512),
+        "chunk_email": _mk_chunk("email", 128),
+        "chunk_presentation": _mk_chunk("presentation", 512),
+        "chunk_one": _q_chunk_one,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_docs": _EXTRACT_DOCS_SQL,
+        "layout_docs": _LAYOUT_DOCS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "lang_id": text.LANG_ID_SQL,
         "quality_score": text.QUALITY_SQL,
