@@ -163,13 +163,20 @@ def ivf_assignments(
     one Lloyd step. Centroid table is tiny → broadcast everywhere; each
     assignment pass is a shuffle-free projection over the corpus."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = _normed(emb).cache()
+    n = _normed(emb)
     seed = _avg_by(n, (F.col("vec_id") % nlist).cast("int"))
     assigned = _assign(n, seed)
-    centroids = _avg_by(assigned, F.col("list_id")).cache()
+    # Materialize ONLY the tiny (nlist-row) centroid table: the eager
+    # localCheckpoint runs the whole Lloyd-step lineage (both corpus
+    # aggregations) exactly once and truncates it, so downstream consumers
+    # broadcast a 16-row literal. The corpus-sized normalized/assigned
+    # frames are deliberately NOT cached — a pinned corpus is pure memory
+    # pressure at 100 TB, and each re-consumption is a narrow shuffle-free
+    # scan+normalize+argmax projection (same rationale as the round-3
+    # minhash corpus-cache removal, BENCH.md).
+    centroids = _avg_by(assigned, F.col("list_id")).localCheckpoint()
     final = _assign(n, centroids)
-    # consumed twice downstream (query side + probe join) — don't recompute
-    return centroids, final.cache()
+    return centroids, final
 
 
 def knn_ivf(
