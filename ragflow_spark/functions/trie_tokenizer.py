@@ -27,6 +27,8 @@ Deliberate deviations (documented):
 
 from __future__ import annotations
 
+import math
+import os
 import re
 
 # ------------------------------------------------------------- dictionary
@@ -336,17 +338,72 @@ EN_NORM_DUCK_SQL = (
 )
 
 
+# ------------------------------------------------- pluggable dictionary
+
+# The reference ships a ~500k-entry frequency file (rag/res/huqie.txt)
+# loaded by rag_tokenizer.py:38-56; this engine vendors a small table but
+# accepts a full-scale file in the same format through this env var. On a
+# cluster, ship the file with --files / spark.executorEnv so every worker
+# resolves the same path.
+DICT_ENV = "RAGFLOW_SPARK_HUQIE_DICT"
+
+_HUQIE_DENOMINATOR = 1_000_000.0
+
+
+def load_dict_file(path: str) -> list[tuple[str, int, str]]:
+    """Parse a huqie-format frequency file: one ``word freq [pos]`` per
+    line, space/tab separated, ``#`` comments and blank lines skipped.
+    Raw counts are re-scaled to the reference's log scale
+    ``int(log(freq/1e6) + .5)`` and duplicate words keep the higher
+    scaled frequency (rag_tokenizer.py:37-50 semantics, including the
+    lowercased key)."""
+    out: dict[str, tuple[int, str]] = {}
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            parts = re.split(r"[ \t]+", raw.strip())
+            if not parts or not parts[0] or parts[0].startswith("#"):
+                continue
+            w = parts[0].lower()
+            f = (
+                int(math.log(float(parts[1]) / _HUQIE_DENOMINATOR) + 0.5)
+                if len(parts) > 1
+                else 0
+            )
+            p = parts[2] if len(parts) > 2 else ""
+            if w not in out or out[w][0] < f:
+                out[w] = (f, p)
+    return [(w, f, p) for w, (f, p) in out.items()]
+
+
 _DEFAULT: TrieTokenizer | None = None
 
 
 def default_tokenizer() -> TrieTokenizer:
-    """Process-wide instance over the vendored dictionary. Built lazily so
-    executors pay the trie build once per worker, not per batch — and
-    nothing pickles the trie through closures."""
+    """Process-wide instance — the full-scale dictionary named by
+    $RAGFLOW_SPARK_HUQIE_DICT when set, else the vendored table. Built
+    lazily so executors pay the trie build once per worker, not per
+    batch — and nothing pickles the trie through closures. A set-but-
+    missing path raises (a silent fallback would tokenize differently on
+    driver vs executor, corrupting every downstream hash)."""
     global _DEFAULT
     if _DEFAULT is None:
-        _DEFAULT = TrieTokenizer()
+        path = os.environ.get(DICT_ENV, "")
+        if path:
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"{DICT_ENV}={path!r} does not exist on this worker; "
+                    "ship the dictionary with --files or fix the path"
+                )
+            _DEFAULT = TrieTokenizer(load_dict_file(path))
+        else:
+            _DEFAULT = TrieTokenizer()
     return _DEFAULT
+
+
+def reset_default_tokenizer() -> None:
+    """Drop the cached instance (tests flip $RAGFLOW_SPARK_HUQIE_DICT)."""
+    global _DEFAULT
+    _DEFAULT = None
 
 
 def tokenize(line: str) -> str:

@@ -97,3 +97,86 @@ def test_segmentation_cap_reaches_greedy_split():
     assert ["abcd"] * 5 in segs
     # and the winner contains no single-char atomization
     assert all(len(t) >= 2 for t in tt._best_segmentations("abcd" * 5)[0])
+
+
+def test_load_dict_file_scaling_and_dedup(tmp_path):
+    """huqie-format loader: log-scale freq math int(log(f/1e6)+.5)
+    (rag_tokenizer.py:47-50), lowercased keys, higher-freq dedup,
+    comment/blank skipping."""
+    import math
+
+    from ragflow_spark.functions.trie_tokenizer import load_dict_file
+
+    p = tmp_path / "dict.txt"
+    p.write_text(
+        "# comment line\n"
+        "中国 1000000 ns\n"
+        "数据 2718281828 n\n"
+        "\n"
+        "数据 1000000 n\n"          # duplicate, lower freq — ignored
+        "Mixed\t54365637\tn\n"      # tab-separated, lowercased key
+        "nofreq\n",
+        encoding="utf-8",
+    )
+    entries = {w: (f, pos) for w, f, pos in load_dict_file(str(p))}
+    assert entries["中国"] == (0, "ns")            # log(1)=0
+    assert entries["数据"][0] == int(math.log(2718.281828) + 0.5)  # == 8
+    assert entries["数据"][0] == 8
+    assert "mixed" in entries and "Mixed" not in entries
+    assert entries["mixed"][0] == int(math.log(54.365637) + 0.5)  # == 4
+    assert entries["nofreq"] == (0, "")
+
+
+def test_env_dict_golden_1k(tmp_path, monkeypatch):
+    """Full-scale dictionary knob: a generated 1000-entry huqie file via
+    $RAGFLOW_SPARK_HUQIE_DICT drives the DFS/max-match path exactly like
+    the vendored table (rag/nlp/rag_tokenizer.py:54-88 analog)."""
+    import math
+
+    from ragflow_spark.functions import trie_tokenizer as tt
+
+    # vendored words re-emitted at raw counts that scale back to their
+    # vendored log freqs, padded to 1000 with rare-codepoint two-char
+    # fillers (0x9C00.. — disjoint from every vendored word's chars)
+    lines = [
+        f"{w} {round(math.exp(f) * 1_000_000)} {pos}"
+        for w, f, pos in tt.VENDORED_DICT
+    ]
+    fillers = []
+    while len(lines) + len(fillers) < 1000:
+        i = len(fillers)
+        w = chr(0x9C00 + i % 400) + chr(0x9C00 + (i * 7 + 3) % 397)
+        fillers.append(f"{w} {1_000_000 * (2 + i % 40)} n")
+    p = tmp_path / "huqie_1k.txt"
+    p.write_text("\n".join(lines + fillers) + "\n", encoding="utf-8")
+
+    monkeypatch.setenv(tt.DICT_ENV, str(p))
+    tt.reset_default_tokenizer()
+    try:
+        tok = tt.default_tokenizer()
+        assert len(tok._dict) >= 990  # filler collisions may dedup a few
+        # vendored-table goldens hold under the loaded dictionary
+        assert tok.tokenize("中华人民共和国的机器学习模型") == \
+            "中华人民共和国 的 机器学习 模型"
+        # a generated filler entry is live in the trie: it segments out of
+        # a run against a neighboring single rare char
+        w0 = chr(0x9C00) + chr(0x9C03)
+        solo = chr(0x9DFF)
+        assert tok.freq(w0) == int(math.log(2.0) + 0.5)
+        assert tok.tokenize(w0 + solo) == f"{w0} {solo}"
+    finally:
+        tt.reset_default_tokenizer()
+
+
+def test_env_dict_missing_path_raises(monkeypatch):
+    from ragflow_spark.functions import trie_tokenizer as tt
+
+    monkeypatch.setenv(tt.DICT_ENV, "/nonexistent/huqie.txt")
+    tt.reset_default_tokenizer()
+    try:
+        import pytest
+
+        with pytest.raises(FileNotFoundError):
+            tt.default_tokenizer()
+    finally:
+        tt.reset_default_tokenizer()
