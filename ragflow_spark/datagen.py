@@ -17,7 +17,7 @@ from ragflow_spark.schemas import PAGE_H, PAGE_W, Geom, pack_geom
 
 # bump when generated content changes for the same (seed, doc_index) —
 # cached corpus directories are keyed on this (entry's _corpus_path)
-CORPUS_VERSION = 6  # v6: plain_formats profile (md/txt/json spans)
+CORPUS_VERSION = 7  # v7: embedded HTML tables in half the md docs
 
 PROFILES = [
     ("html_boiler", 20),
@@ -290,6 +290,17 @@ def _gen_plain_formats(doc_id: str, r: random.Random) -> list[dict]:
         f"| {r.choice(WORDS)} | {r.choice(WORDS)} |\n|---|---|\n"
         f"| {r.randint(1, 99)} | {r.randint(1, 99)} |\n"
     )
+    # half the docs paste an embedded HTML table (one of the reference's
+    # three wrapper cases, markdown_parser.py:68-106) after a trailing line
+    wrap = r.randint(0, 5)
+    if wrap < 3:
+        cell = f"<table><tr><td>{r.choice(WORDS)}</td><td>{r.randint(1, 99)}</td></tr></table>"
+        html_tbl = [
+            f"<html><body>{cell}</body></html>",
+            f"<body>{cell}</body>",
+            cell,
+        ][wrap]
+        md += f"{_sentence(r, 6, 10)}\n{html_tbl}\n{_sentence(r, 6, 10)}\n"
     txt = "\n".join(_sentence(r, 8, 14) for _ in range(r.randint(2, 4)))
     js = _json.dumps(
         {

@@ -15,13 +15,39 @@ import re
 
 _MD_SEP_ROW = re.compile(r"^\s*\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)+\|?\s*$")
 
+# Embedded HTML tables pasted into markdown — the reference's three wrapper
+# cases (<html><body><table>, <body><table>, bare <table>), matched at line
+# boundaries (markdown_parser.py:68-106).
+_HTML_TABLE = re.compile(
+    r"(?:\n|^)\s*"
+    r"(?:<html[^>]*>\s*<body[^>]*>\s*<table[^>]*>.*?</table>\s*</body>\s*</html>"
+    r"|<body[^>]*>\s*<table[^>]*>.*?</table>\s*</body>"
+    r"|<table[^>]*>.*?</table>)"
+    r"\s*(?=\n|$)",
+    re.DOTALL | re.IGNORECASE,
+)
+
 
 def parse_markdown(text: str) -> list[tuple[str, str]]:
     """Returns [(section_text, kind)] — kind 'table' for pipe tables rendered
-    to HTML, 'title' for headings (glued to their following body line),
-    'text' otherwise."""
-    lines = text.split("\n")
+    to HTML and for embedded HTML ``<table>`` blocks (kept verbatim, three
+    wrapper cases per markdown_parser.py:68-106), 'title' for headings
+    (glued to their following body line), 'text' otherwise. Document order
+    is preserved: html-table blocks split the text and the line scanner
+    runs on each remainder segment in place."""
     out: list[tuple[str, str]] = []
+    last = 0
+    if "<table" in text.lower():
+        for m in _HTML_TABLE.finditer(text):
+            _parse_md_lines(text[last:m.start()], out)
+            out.append((m.group().strip(), "table"))
+            last = m.end()
+    _parse_md_lines(text[last:], out)
+    return out
+
+
+def _parse_md_lines(text: str, out: list[tuple[str, str]]) -> None:
+    lines = text.split("\n")
     i = 0
     n = len(lines)
     while i < n:
@@ -50,7 +76,6 @@ def parse_markdown(text: str) -> list[tuple[str, str]]:
         elif line.strip():
             out.append((line, "text"))
         i += 1
-    return out
 
 
 def _md_cells(row: str) -> list[str]:

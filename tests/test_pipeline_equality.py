@@ -108,3 +108,40 @@ def test_all_profiles_nonempty(spark, docs):
     for prof, counts in by_profile.items():
         assert all(c > 0 for c in counts), f"profile {prof} produced empty docs"
     assert len(by_profile) == 8
+
+
+def test_md_embedded_html_table_fixture(spark):
+    """Markdown with a pasted HTML table (all three wrapper cases,
+    markdown_parser.py:68-106): the distributed strip path must equal the
+    single-doc kernel and surface each table verbatim as kind='table' in
+    document order."""
+    cell = "<table><tr><td>alpha</td><td>7</td></tr></table>"
+    md = (
+        "# heading one\nintro body line\n\n"
+        f"{cell}\n"
+        "middle text line\n"
+        f"<body>{cell}</body>\n"
+        f"<html><body>{cell}</body></html>\n"
+        "tail line\n"
+    )
+    spans = [{"kind": "md", "text": md, "media_ref": "", "offset": 0}]
+    df = spark.createDataFrame(
+        [("mdh-1", [("md", md, "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = collect_spans(extract_spans(df))["mdh-1"]
+    expected = [
+        (o["seq"], o["kind"], o["text"], o["media_ref"])
+        for o in extract_doc(spans)
+    ]
+    assert got == expected
+    tables = [t for _, k, t, _ in got if k == "table"]
+    assert cell in tables                       # bare table, verbatim
+    assert f"<body>{cell}</body>" in tables     # body wrapper
+    assert f"<html><body>{cell}</body></html>" in tables
+    # order preserved: the bare table precedes the middle text line
+    kinds_texts = [(k, t) for _, k, t, _ in got]
+    assert kinds_texts.index(("table", cell)) < kinds_texts.index(
+        ("text", "middle text line")
+    )
