@@ -157,24 +157,29 @@ def _assign(n: DataFrame, cents_df: DataFrame) -> DataFrame:
 
 
 def ivf_assignments(
-    spark: SparkSession, sf_dir: str, nlist: int = 16
+    spark: SparkSession, sf_dir: str, nlist: int = 16, train_mod: int = 5
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments): deterministic seed lists (vec_id % nlist),
-    one Lloyd step. Centroid table is tiny → broadcast everywhere; each
-    assignment pass is a shuffle-free projection over the corpus."""
+    one Lloyd step TRAINED ON A SAMPLE (vec_id % train_mod == 0) — the
+    standard IVF posture: centroid quality needs a representative sample,
+    not the corpus, so the training scans touch 1/train_mod of the data
+    and only the final assignment pass reads everything. Centroid table is
+    tiny → broadcast everywhere; each assignment pass is a shuffle-free
+    projection."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = _normed(emb)
-    seed = _avg_by(n, (F.col("vec_id") % nlist).cast("int"))
-    assigned = _assign(n, seed)
+    tr = _normed(emb.where(F.col("vec_id") % train_mod == 0))
+    seed = _avg_by(tr, (F.col("vec_id") % nlist).cast("int"))
+    assigned_tr = _assign(tr, seed)
     # Materialize ONLY the tiny (nlist-row) centroid table: the eager
-    # localCheckpoint runs the whole Lloyd-step lineage (both corpus
+    # localCheckpoint runs the whole training lineage (both sample
     # aggregations) exactly once and truncates it, so downstream consumers
     # broadcast a 16-row literal. The corpus-sized normalized/assigned
     # frames are deliberately NOT cached — a pinned corpus is pure memory
     # pressure at 100 TB, and each re-consumption is a narrow shuffle-free
     # scan+normalize+argmax projection (same rationale as the round-3
     # minhash corpus-cache removal, BENCH.md).
-    centroids = _avg_by(assigned, F.col("list_id")).localCheckpoint()
+    centroids = _avg_by(assigned_tr, F.col("list_id")).localCheckpoint()
     final = _assign(n, centroids)
     return centroids, final
 
@@ -195,9 +200,15 @@ def knn_ivf(
     contract as knn_bruteforce; the query-side crossJoin×nlist + window is
     bounded by the query batch size, never the corpus."""
     centroids, assigned = ivf_assignments(spark, sf_dir, nlist)
-    qsrc = _normed(queries) if queries is not None else assigned.where(
-        F.col("vec_id") % query_mod == 0
-    )
+    if queries is not None:
+        qsrc = _normed(queries)
+    else:
+        # derive the query batch from a FILTERED scan, not from `assigned`:
+        # the query side only needs the normalized vectors, and filtering
+        # before normalization turns it into a tiny scan instead of a full
+        # corpus argmax recompute (which the uncached design would repeat)
+        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        qsrc = _normed(emb.where(F.col("vec_id") % query_mod == 0))
     q = qsrc.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -235,6 +246,7 @@ def knn_ivf(
 # the whole thing is expressible with window functions + list_dot_product.
 _IVF_NLIST = 16
 _IVF_NPROBE = 4
+_IVF_TRAIN_MOD = 5
 
 KNN_IVF_SQL = f"""
 WITH d AS (
@@ -243,10 +255,11 @@ WITH d AS (
 n AS (
   SELECT vec_id, list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv))) AS v
   FROM d),
+tr AS (SELECT vec_id, v FROM n WHERE vec_id % {_IVF_TRAIN_MOD} = 0),
 se AS (
   SELECT CAST(vec_id % {_IVF_NLIST} AS INTEGER) AS list_id,
          unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos
-  FROM n),
+  FROM tr),
 sm AS (SELECT list_id, pos, avg(x) AS m FROM se GROUP BY list_id, pos),
 sc0 AS (SELECT list_id, list(m ORDER BY pos) AS c FROM sm GROUP BY list_id),
 seed AS (
@@ -255,11 +268,11 @@ seed AS (
   FROM sc0),
 a1 AS (
   SELECT vec_id, v, list_id FROM (
-    SELECT n.vec_id, n.v, s.list_id,
-           row_number() OVER (PARTITION BY n.vec_id
-                              ORDER BY list_dot_product(n.v, s.c) DESC,
+    SELECT tr.vec_id, tr.v, s.list_id,
+           row_number() OVER (PARTITION BY tr.vec_id
+                              ORDER BY list_dot_product(tr.v, s.c) DESC,
                                        s.list_id ASC) AS rn
-    FROM n, seed s) t WHERE rn = 1),
+    FROM tr, seed s) t WHERE rn = 1),
 le AS (
   SELECT list_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos
   FROM a1),
