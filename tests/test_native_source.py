@@ -180,7 +180,7 @@ def test_sink_portable_commit_protocols(spark, corpus_path, tmp_path_factory):
     assert again == a
 
 
-@pytest.mark.parametrize("chunker", ["book", "manual", "qa"])
+@pytest.mark.parametrize("chunker", ["book", "manual", "qa", "presentation"])
 def test_chunks_native_equals_fused_other_chunkers(spark, corpus_path, chunker):
     native = {
         (r.doc_id, r.chunk_seq, r.text, r.token_count, tuple(r.media_refs or []))
