@@ -1753,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_docs": _q_es_docs,
         "tokenize_docs": _q_tokenize_docs,
         "table_rows_to_docs": assembly.table_rows_to_docs,
+        "table_html_docs": assembly.table_html_docs,
         # text analysis (SQL-oracled)
         "token_stats": text.token_stats,
         "lang_id": text.lang_id,
@@ -1844,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "es_docs": _ES_DOCS_SQL,
         "tokenize_docs": _TOKENIZE_DOCS_SQL,
         "table_rows_to_docs": assembly.TABLE_ROWS_TO_DOCS_SQL,
+        "table_html_docs": assembly.TABLE_HTML_DOCS_SQL,
         "term_idf": retrieval.TERM_IDF_SQL,
         "term_weights": retrieval.TERM_WEIGHTS_SQL,
         "query_build": retrieval.QUERY_BUILD_SQL,

@@ -46,8 +46,8 @@ def test_nonscalar_cols_flags_arrays_and_structs():
 
 def test_driver_facing_chunk_queries_have_no_list_columns(spark):
     """Every queries() output schema must be scalar-typed (the driver sorts
-    raw frames). Checks schemas only — no execution — so it covers all 39
-    entries cheaply."""
+    raw frames). Checks schemas only — no execution — so it covers every
+    entry cheaply."""
     import __spark_entry__ as entrymod
 
     sf_dir = "/root/testdata/sf0.001"
@@ -58,3 +58,17 @@ def test_driver_facing_chunk_queries_have_no_list_columns(spark):
                 "string", "integer", "long", "double", "float", "boolean",
                 "date", "timestamp", "decimal", "short", "byte",
             }, f"{name}.{f.name} is non-scalar: {f.dataType.simpleString()}"
+
+
+def test_oracled_queries_fit_driver_window():
+    """The driver's correctness file records only the first 50 queries()
+    entries (the round-3 window-overflow lesson): every key in oracle_sql()
+    must land inside that window, and every oracle key must name a query."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    assert oracled <= set(names)
+    window = set(names[:50])
+    missing = oracled - window
+    assert not missing, f"oracled queries outside the 50-entry window: {missing}"

@@ -170,3 +170,62 @@ def test_assemble_es_docs_fields(spark):
     r2 = rows[("d2", 0)]
     assert r2["content_ltks"].strip() == "x cell"
     assert r2["title_tks"] == "r mp3"
+
+
+def test_table_html_docs_chunk_shape(spark):
+    """Excel html4excel route (excel_parser.py:92-132): 256-row positional
+    chunks, escaped-header <th> row repeated atop each chunk, caption,
+    trailing newline, rows in key order."""
+    from ragflow_spark.ops.assembly import table_html_docs
+
+    out = {
+        r.doc_seq: r
+        for r in table_html_docs(spark, "/root/testdata/sf0.001").collect()
+    }
+    # sf0.001 customer = 150 rows → a single chunk
+    assert set(out) == {0} and out[0].n_rows == 150
+    t = out[0].text
+    assert t.startswith(
+        "<table><caption>customer</caption>"
+        "<tr><th>c_name</th><th>c_mktsegment</th><th>c_acctbal_cents</th></tr>"
+    )
+    assert t.endswith("</table>\n")
+    assert t.count("<tr>") == 151  # header + 150 data rows
+    # smaller chunk_rows exercises the chunk boundary: 150 = 64+64+22
+    chunks = {
+        r.doc_seq: r.n_rows
+        for r in table_html_docs(
+            spark, "/root/testdata/sf0.001", chunk_rows=64
+        ).collect()
+    }
+    assert chunks == {0: 64, 1: 64, 2: 22}
+
+
+def test_int_overflow_promotion(spark):
+    """table.py:271-275 analog: one int cell past 2**63-1 promotes the
+    column to float; boundary values and negatives do not."""
+    from ragflow_spark.ops import schema_infer
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("at_max", "9223372036854775807"),      # == i64 max → stays int
+        ("over", "9223372036854775808"),        # max+1 → promote
+        ("over_long", "123456789012345678901"), # 21 digits → promote
+        ("neg_big", "-99999999999999999999"),   # negative → reference skips
+        ("zeros", "0009223372036854775807"),    # leading zeros → == max
+    ]
+    df = spark.createDataFrame(rows, "col_name string, str_val string")
+    got = {
+        r.col_name: bool(r.ovf)
+        for r in df.select(
+            "col_name",
+            schema_infer._int_overflow(F.col("str_val")).alias("ovf"),
+        ).collect()
+    }
+    assert got == {
+        "at_max": False,
+        "over": True,
+        "over_long": True,
+        "neg_big": False,
+        "zeros": False,
+    }
