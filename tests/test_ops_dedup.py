@@ -135,3 +135,47 @@ def test_embedding_neardup_lsh_finds_all_twins(spark):
     for r in out:
         assert r["id_b"] == r["id_a"] + 1_000_000
         assert r["cos_r4"] >= dedup.NEARDUP_LSH_THRESHOLD
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_minhash_oracle_recall_assumption(sf):
+    """MINHASH_LSH_SQL == exact-Jaccard SQL is an oracle of the verifier
+    contract ASSUMING LSH recall 1.0 on every planted pair. With 16 bands
+    of 4 rows, P(miss) = (1-j^4)^16 — negligible only for high-j pairs
+    (j=0.85: ~7e-6) but material near the 0.5 threshold (j=0.5: ~0.35).
+    Guard: the corpus must contain NO borderline pairs — every pair at
+    j ≥ 0.45 must sit at j ≥ 0.85, so the recall-1.0 equality stays sound
+    (current corpus minimum: j=0.889 at sf0.001).
+    If a future corpus trips this, re-plant the dups or drop the oracle
+    to rows-only (VERDICT r3 §wrong-4)."""
+    import duckdb
+
+    from ragflow_spark.ops.dedup import _DUCK_SHINGLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'/root/testdata/{sf}/documents.parquet'"
+    )
+    rows = con.execute(
+        _DUCK_SHINGLES
+        + """,
+cnt AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM s a JOIN s b USING (sh) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS j
+FROM pairs
+JOIN cnt na ON na.doc_id = doc_a
+JOIN cnt nb ON nb.doc_id = doc_b
+WHERE 20 * inter >= 9 * (na.n + nb.n - inter)
+"""
+    ).fetchall()
+    assert rows, "corpus lost its planted near-dup pairs entirely"
+    borderline = [(a, b, j) for a, b, j in rows if j < 0.85]
+    assert not borderline, (
+        f"borderline-Jaccard pairs break the LSH recall-1.0 oracle: "
+        f"{borderline[:5]}"
+    )
