@@ -13,6 +13,8 @@ query side of hybrid search is broadcast (queries ≪ corpus).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -307,12 +309,39 @@ _DUCK_CLEAN = (
 )
 
 
-# vendored synonym dictionary (reference: rag/res/synonym.json consumed by
+# synonym dictionary (reference: rag/res/synonym.json consumed by
 # rag/nlp/synonym.py lookup). The reference ships a large static json; this
 # engine vendors a corpus-relevant subset under the same contract — lookup
-# on the cleaned token, one synonym clause per hit. Shared between the Spark
-# path (broadcast literal table) and the DuckDB oracle (VALUES list).
-SYNONYMS: dict[str, list[str]] = {
+# on the cleaned token, one synonym clause per hit — and accepts a full-
+# scale file in the reference's json format via $RAGFLOW_SPARK_SYNONYM_JSON.
+# Shared between the Spark path (broadcast literal table, driver-resolved —
+# executors never read the file) and the DuckDB oracle (VALUES list); both
+# derive from the SAME module-level table, so a loaded dictionary stays
+# consistent across the query and its oracle.
+SYNONYM_ENV = "RAGFLOW_SPARK_SYNONYM_JSON"
+SYN_TOPN = 8  # lookup cap, rag/nlp/synonym.py:70-78
+
+
+def load_synonym_file(path: str) -> dict[str, list[str]]:
+    """rag/res/synonym.json format: token → synonym string or list. Keys
+    lowercased + whitespace-normalized (synonym.py:76), string values wrap
+    to one-element lists, lists cap at SYN_TOPN, self-mappings dropped."""
+    import json
+    import re as _re
+
+    with open(path, encoding="utf-8") as fh:
+        raw = json.load(fh)
+    out: dict[str, list[str]] = {}
+    for k, v in raw.items():
+        key = _re.sub(r"[ \t]+", " ", str(k).lower()).strip()
+        vals = [v] if isinstance(v, str) else list(v)
+        clean = [s for s in (str(x).strip() for x in vals) if s and s != key]
+        if key and clean:
+            out[key] = clean[:SYN_TOPN]
+    return out
+
+
+VENDORED_SYNONYMS: dict[str, list[str]] = {
     "fast": ["quick", "rapid"],
     "slow": ["sluggish"],
     "big": ["large", "huge"],
@@ -322,6 +351,14 @@ SYNONYMS: dict[str, list[str]] = {
     "query": ["request"],
     "table": ["relation"],
 }
+
+_syn_path = os.environ.get(SYNONYM_ENV, "")
+if _syn_path:
+    # a set-but-missing path raises here (import time, driver-side) rather
+    # than silently falling back to the vendored subset
+    SYNONYMS = load_synonym_file(_syn_path)
+else:
+    SYNONYMS = VENDORED_SYNONYMS
 
 # minimum_should_match retry ladder: question() compiles at 0.6
 # (rag/nlp/query.py:85), retrieval first calls with 0.3 and retries an empty
@@ -464,8 +501,12 @@ _FIELDS_VALUES = ", ".join(
     f"({i}, '{f}', {b})" for i, (f, b) in enumerate(QUERY_FIELDS)
 )
 
+# single quotes doubled so a loaded dictionary with apostrophes still
+# compiles as a SQL VALUES list
 _SYN_VALUES = ", ".join(
-    f"('{k}', '{s}')" for k, syns in SYNONYMS.items() for s in syns
+    "('{}', '{}')".format(k.replace("'", "''"), s.replace("'", "''"))
+    for k, syns in SYNONYMS.items()
+    for s in syns
 )
 
 _MM_VALUES = ", ".join(

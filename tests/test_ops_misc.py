@@ -229,3 +229,61 @@ def test_int_overflow_promotion(spark):
         "neg_big": False,
         "zeros": False,
     }
+
+
+def test_synonym_file_loader(tmp_path):
+    """rag/res/synonym.json-format loader: string values wrap to lists,
+    keys lowercase + whitespace-normalized, SYN_TOPN cap, self-mappings
+    dropped (rag/nlp/synonym.py:70-78 contract)."""
+    import json
+
+    from ragflow_spark.ops.retrieval import SYN_TOPN, load_synonym_file
+
+    p = tmp_path / "synonym.json"
+    json.dump(
+        {
+            "Fast  CAR": "quick car",
+            "big": ["large", "huge", "big"],          # self-mapping dropped
+            "many": [f"s{i}" for i in range(20)],     # capped at topn
+            "empty": [],
+            "阿为特": "873693",
+        },
+        open(p, "w", encoding="utf-8"),
+    )
+    d = load_synonym_file(str(p))
+    assert d["fast car"] == ["quick car"]
+    assert d["big"] == ["large", "huge"]
+    assert len(d["many"]) == SYN_TOPN
+    assert "empty" not in d
+    assert d["阿为特"] == ["873693"]
+
+
+def test_synonym_env_knob_consistent_sides(tmp_path):
+    """$RAGFLOW_SPARK_SYNONYM_JSON swaps the dictionary for BOTH the Spark
+    literal table and the DuckDB VALUES oracle (they derive from the same
+    module table), including SQL-quote escaping."""
+    import importlib
+    import json
+    import os
+    import subprocess
+    import sys
+
+    p = tmp_path / "syn.json"
+    json.dump({"rock": ["stone", "o'brien"]}, open(p, "w", encoding="utf-8"))
+    code = (
+        "from ragflow_spark.ops import retrieval as r\n"
+        "assert r.SYNONYMS == {'rock': ['stone', \"o'brien\"]}, r.SYNONYMS\n"
+        "assert \"('rock', 'stone')\" in r._SYN_VALUES\n"
+        "assert \"('rock', 'o''brien')\" in r._SYN_VALUES\n"
+        "import duckdb\n"
+        "got = duckdb.sql(\"SELECT * FROM (VALUES \" + r._SYN_VALUES +\n"
+        "                 \") v(token, syn)\").fetchall()\n"
+        "assert ('rock', \"o'brien\") in got, got\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ, RAGFLOW_SPARK_SYNONYM_JSON=str(p),
+               PYTHONPATH="/root/repo")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
