@@ -82,29 +82,58 @@ _RE_ENG = "^[a-z. -]+$"
 _FREQ_N = 10_000_000
 _DF_N = 1_000_000_000
 
-# vendored NER dictionary (reference: rag/res/huqie.txt NER column consumed
-# by term_weight.py:162-186). Tags and boost table are the reference's; the
-# entries cover the test corpus vocabulary, including words the old regex
-# proxy weighted at 1.0.
-NER_DICT: dict[str, str] = {
+# NER dictionary (reference: rag/res/ner.json consumed by
+# term_weight.py:166-176). Tags and boost table are the reference's; the
+# vendored entries cover the test corpus vocabulary, and a full-scale
+# ner.json loads via $RAGFLOW_SPARK_NER_JSON. Lookup compiles to a
+# BROADCAST DIM JOIN, not a per-token when-chain — a when-chain is fine at
+# 4 entries and fatal at the reference's scale (expression-tree explosion),
+# while a broadcast join costs one tiny exchange regardless of dict size.
+NER_ENV = "RAGFLOW_SPARK_NER_JSON"
+POS_ENV = "RAGFLOW_SPARK_POS_JSON"
+
+NER_BOOSTS = {
+    "toxic": 2.0, "func": 1.0, "corp": 3.0, "loca": 3.0, "sch": 3.0,
+    "stock": 3.0, "firstnm": 1.0,
+}
+POS_BOOSTS = {"r": 0.3, "c": 0.3, "d": 0.3, "ns": 3.0, "nt": 3.0, "n": 2.0}
+
+VENDORED_NER: dict[str, str] = {
     "spark": "corp",
     "data": "sch",
     "customer": "firstnm",
     "key": "func",
 }
-NER_BOOSTS = {
-    "toxic": 2.0, "func": 1.0, "corp": 3.0, "loca": 3.0, "sch": 3.0,
-    "stock": 3.0, "firstnm": 1.0,
-}
 
-# vendored POS dictionary (reference: rag_tokenizer.tag via huqie POS tags,
-# term_weight.py:176-186)
-POS_DICT: dict[str, str] = {
+# vendored POS dictionary (reference: rag_tokenizer.tag via the huqie POS
+# column, term_weight.py:177-186). At full scale feed the huqie dict's pos
+# column here as a {token: tag} json.
+VENDORED_POS: dict[str, str] = {
     "window": "n",
     "line": "n",
     "the": "d",
 }
-POS_BOOSTS = {"r": 0.3, "c": 0.3, "d": 0.3, "ns": 3.0, "nt": 3.0, "n": 2.0}
+
+
+def load_tag_file(path: str, boosts: dict[str, float]) -> dict[str, str]:
+    """{token: tag} json (rag/res/ner.json shape). Keys lowercased; entries
+    whose tag has no boost row are dropped (the reference would KeyError on
+    them, term_weight.py:173-176 — dropping degrades to boost 1.0)."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        raw = json.load(fh)
+    return {
+        str(k).lower(): str(v)
+        for k, v in raw.items()
+        if str(v) in boosts
+    }
+
+
+_ner_path = os.environ.get(NER_ENV, "")
+NER_DICT = load_tag_file(_ner_path, NER_BOOSTS) if _ner_path else VENDORED_NER
+_pos_path = os.environ.get(POS_ENV, "")
+POS_DICT = load_tag_file(_pos_path, POS_BOOSTS) if _pos_path else VENDORED_POS
 
 
 def _idf_expr(s, n: int):
@@ -126,17 +155,20 @@ def _raw_weight(tokcol, freqcol, dfcol):
         .when(tokcol.rlike(_RE_ENG), F.lit(300.0))
         .otherwise(F.lit(3.0))
     )
-    ner = F.when(tokcol.rlike(_RE_NUMERIC_NER), F.lit(2.0)).when(
-        tokcol.rlike(_RE_SHORT_LATIN), F.lit(0.01)
+    # ner/pos arrive as broadcast-joined dim columns (ner_b/pos_b) — see
+    # the NER_ENV comment: per-token when-chains don't survive a full-scale
+    # dictionary, a broadcast join does. Precedence mirrors the reference:
+    # ner regex cases shadow the dict (term_weight.py:167-176); the pos
+    # dict shadows the numeric-tag regex (term_weight.py:177-186).
+    ner = (
+        F.when(tokcol.rlike(_RE_NUMERIC_NER), F.lit(2.0))
+        .when(tokcol.rlike(_RE_SHORT_LATIN), F.lit(0.01))
+        .otherwise(F.coalesce(F.col("ner_b"), F.lit(1.0)))
     )
-    for tok, tag in NER_DICT.items():
-        ner = ner.when(tokcol == tok, F.lit(NER_BOOSTS[tag]))
-    ner = ner.otherwise(F.lit(1.0))
-    pos = None
-    for tok, tag in POS_DICT.items():
-        cond = F.when(tokcol == tok, F.lit(POS_BOOSTS[tag]))
-        pos = cond if pos is None else pos.when(tokcol == tok, F.lit(POS_BOOSTS[tag]))
-    pos = pos.when(tokcol.rlike(r"^[0-9-]+$"), F.lit(2.0)).otherwise(F.lit(1.0))
+    pos = F.coalesce(
+        F.col("pos_b"),
+        F.when(tokcol.rlike(r"^[0-9-]+$"), F.lit(2.0)).otherwise(F.lit(1.0)),
+    )
     return (
         (0.3 * _idf_expr(freq, _FREQ_N) + 0.7 * _idf_expr(df_, _DF_N))
         * ner
@@ -144,14 +176,48 @@ def _raw_weight(tokcol, freqcol, dfcol):
     )
 
 
-_DUCK_NER_DICT_BRANCHES = "\n        ".join(
-    f"WHEN token = '{tok}' THEN {NER_BOOSTS[tag]}"
-    for tok, tag in NER_DICT.items()
-)
-_DUCK_POS_DICT_BRANCHES = "\n        ".join(
-    f"WHEN token = '{tok}' THEN {POS_BOOSTS[tag]}"
-    for tok, tag in POS_DICT.items()
-)
+# Below this size a dictionary compiles to a literal-map projection
+# (zero exchanges, stays in whole-stage codegen); above it, a broadcast
+# dim join (one tiny exchange, immune to expression-tree / codegen-size
+# blowup at the reference's 500k entries). Same-window A/B: at 4 entries
+# the two broadcast joins cost term_weights 0.89→2.17 s, the map costs
+# nothing; at 500k a map literal would not compile at all.
+_SMALL_DICT_MAX = 1000
+
+
+def _tag_map_expr(tokcol, d: dict[str, str], boosts: dict[str, float]):
+    pairs = [x for t, g in d.items() for x in (F.lit(t), F.lit(boosts[g]))]
+    if not pairs:
+        return F.lit(None).cast("double")
+    return F.element_at(F.create_map(*pairs), tokcol)
+
+
+def _with_tag_dims(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Attach ner_b/pos_b boost columns ahead of ``_raw_weight``."""
+    for col, d, boosts in (
+        ("ner_b", NER_DICT, NER_BOOSTS),
+        ("pos_b", POS_DICT, POS_BOOSTS),
+    ):
+        if len(d) <= _SMALL_DICT_MAX:
+            df = df.withColumn(col, _tag_map_expr(F.col("token"), d, boosts))
+        else:
+            rows = [(t, boosts[g]) for t, g in d.items()]
+            dim = spark.createDataFrame(rows, f"token string, {col} double")
+            df = df.join(F.broadcast(dim), "token", "left")
+    return df
+
+
+def _values_dim(d: dict[str, str], boosts: dict[str, float], col: str) -> str:
+    rows = ", ".join(
+        "('{}', {})".format(t.replace("'", "''"), boosts[g])
+        for t, g in d.items()
+    ) or "('', 1.0)"
+    return f"(SELECT * FROM (VALUES {rows}) v(token, {col}))"
+
+
+_DUCK_TAG_JOINS = f"""
+  LEFT JOIN {_values_dim(NER_DICT, NER_BOOSTS, 'ner_b')} nd USING (token)
+  LEFT JOIN {_values_dim(POS_DICT, POS_BOOSTS, 'pos_b')} pd USING (token)"""
 
 _DUCK_RAW_WEIGHT = f"""
 (0.3 * log10(10 + (({_FREQ_N} -
@@ -174,11 +240,9 @@ _DUCK_RAW_WEIGHT = f"""
            ELSE 3.0 END) + 0.5)))
 * (CASE WHEN regexp_matches(token, '{_RE_NUMERIC_NER}') THEN 2.0
         WHEN regexp_matches(token, '{_RE_SHORT_LATIN}') THEN 0.01
-        {_DUCK_NER_DICT_BRANCHES}
-        ELSE 1.0 END)
-* (CASE {_DUCK_POS_DICT_BRANCHES}
-        WHEN regexp_matches(token, '^[0-9-]+$') THEN 2.0
-        ELSE 1.0 END)
+        ELSE coalesce(ner_b, 1.0) END)
+* coalesce(pos_b, CASE WHEN regexp_matches(token, '^[0-9-]+$') THEN 2.0
+                       ELSE 1.0 END)
 """
 
 
@@ -226,7 +290,7 @@ def term_weights(
         ).alias("token"),
     ).where(F.col("token") != "")
     stats = _corpus_stats(spark, sf_dir)
-    j = toks.join(stats, "token", "left")
+    j = _with_tag_dims(toks.join(stats, "token", "left"), spark)
     wq = F.round(
         _raw_weight(F.col("token"), F.col("freq"), F.col("df")) * 1e6
     ).cast("bigint")
@@ -251,7 +315,7 @@ w AS (
   SELECT q.doc_id, q.token,
          CAST(round(({_DUCK_RAW_WEIGHT}) * 1e6) AS BIGINT) AS wq
   FROM qtoks q
-  LEFT JOIN stats_t USING (token)
+  LEFT JOIN stats_t USING (token){_DUCK_TAG_JOINS}
   WHERE q.token <> ''),
 tot AS (SELECT doc_id, sum(wq) AS s FROM w GROUP BY doc_id)
 SELECT w.doc_id AS query_id, w.token,
@@ -390,7 +454,7 @@ def query_build(
         F.posexplode(F.split(F.col("q"), r"\s+")).alias("pos", "token"),
     ).where(F.col("token") != "")
     stats = _corpus_stats(spark, sf_dir)
-    j = toks.join(stats, "token", "left")
+    j = _with_tag_dims(toks.join(stats, "token", "left"), spark)
     wq = F.round(
         _raw_weight(F.col("token"), F.col("freq"), F.col("df")) * 1e6
     ).cast("bigint")
@@ -530,7 +594,7 @@ w0 AS (
   SELECT query_id, pos, token,
          CAST(round(({_DUCK_RAW_WEIGHT}) * 1e6) AS BIGINT) AS wq
   FROM qtoks
-  LEFT JOIN stats_t USING (token)),
+  LEFT JOIN stats_t USING (token){_DUCK_TAG_JOINS}),
 tot AS (SELECT query_id, sum(wq) AS s FROM w0 GROUP BY query_id),
 norm AS (
   SELECT w0.query_id, w0.pos, w0.token, w0.wq / tot.s AS w

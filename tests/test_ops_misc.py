@@ -95,7 +95,10 @@ def test_ner_pos_dictionary_boosts(spark):
 
     rows = [("spark", 50, 20), ("plain", 50, 20), ("window", 50, 20),
             ("the", 50, 20)]
-    df = spark.createDataFrame(rows, "token string, freq long, df long")
+    df = retrieval._with_tag_dims(
+        spark.createDataFrame(rows, "token string, freq long, df long"),
+        spark,
+    )
     out = {
         r["token"]: r["w"]
         for r in df.select(
@@ -287,3 +290,87 @@ def test_synonym_env_knob_consistent_sides(tmp_path):
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     assert "ok" in out.stdout
+
+
+def test_tag_file_loader(tmp_path):
+    """load_tag_file: keys lowercase, entries with unknown tags dropped
+    (reference KeyErrors on them, term_weight.py:173-176), missing path
+    raises (driver/executor divergence guard)."""
+    import json
+
+    import pytest
+
+    from ragflow_spark.ops.retrieval import NER_BOOSTS, load_tag_file
+
+    p = tmp_path / "ner.json"
+    json.dump(
+        {"OpenAI": "corp", "beijing": "loca", "weird": "zzz"},
+        open(p, "w", encoding="utf-8"),
+    )
+    d = load_tag_file(str(p), NER_BOOSTS)
+    assert d == {"openai": "corp", "beijing": "loca"}
+    with pytest.raises(OSError):
+        load_tag_file(str(tmp_path / "missing.json"), NER_BOOSTS)
+
+
+def test_ner_pos_env_knobs_consistent_sides(tmp_path):
+    """$RAGFLOW_SPARK_NER_JSON / $RAGFLOW_SPARK_POS_JSON swap the boost
+    dictionaries for BOTH the Spark dim table and the DuckDB VALUES oracle
+    (they derive from the same module tables), incl. SQL-quote escaping."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    np = tmp_path / "ner.json"
+    json.dump({"o'corp": "corp", "paris": "loca"}, open(np, "w"))
+    pp = tmp_path / "pos.json"
+    json.dump({"lake": "ns"}, open(pp, "w"))
+    code = (
+        "from ragflow_spark.ops import retrieval as r\n"
+        "assert r.NER_DICT == {\"o'corp\": 'corp', 'paris': 'loca'}\n"
+        "assert r.POS_DICT == {'lake': 'ns'}\n"
+        "import duckdb\n"
+        "got = duckdb.sql(\"SELECT * FROM \" +\n"
+        "                 r._values_dim(r.NER_DICT, r.NER_BOOSTS, 'ner_b')\n"
+        "                 ).fetchall()\n"
+        "assert (\"o'corp\", 3.0) in got and ('paris', 3.0) in got, got\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ, RAGFLOW_SPARK_NER_JSON=str(np),
+               RAGFLOW_SPARK_POS_JSON=str(pp), PYTHONPATH="/root/repo")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
+
+
+def test_tag_dims_large_dict_join_path(spark, monkeypatch):
+    """Above _SMALL_DICT_MAX the lookup switches from a literal map to a
+    broadcast dim join; both shapes must produce identical boosts."""
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.ops import retrieval
+
+    big = {f"tok{i}": "corp" for i in range(1500)}
+    big["spark"] = "corp"
+    monkeypatch.setattr(retrieval, "NER_DICT", big)
+    rows = [("spark", 50, 20), ("plain", 50, 20), ("tok7", 50, 20)]
+    df = retrieval._with_tag_dims(
+        spark.createDataFrame(rows, "token string, freq long, df long"),
+        spark,
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan  # big dict went through the join path
+    out = {
+        r["token"]: r["w"]
+        for r in df.select(
+            "token",
+            retrieval._raw_weight(
+                F.col("token"), F.col("freq"), F.col("df")
+            ).alias("w"),
+        ).collect()
+    }
+    base = out["plain"]
+    assert abs(out["spark"] - 3.0 * base) < 1e-9
+    assert abs(out["tok7"] - 3.0 * base) < 1e-9
