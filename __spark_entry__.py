@@ -76,6 +76,24 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_corpus_path(spark, sf_dir))
 
 
+def _docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan feeding a Python-kernel (mapInPandas) stage.
+
+    At test scale the table is ONE parquet file → one split → the whole
+    Arrow-batched kernel stage would serialize on a single core. When the
+    scan has fewer splits than the cluster's parallelism, spread it with
+    an explicit repartition (user-specified N is exempt from AQE
+    coalescing; the shuffle moves only the raw ~100-word texts). At real
+    scale the input arrives in thousands of splits and the guard makes
+    this a no-op — no shuffle is ever added to a well-split scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return docs
+
+
 def _interleave_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap the driver's documents table into the interleaved-span input
     shape (one txt span per document)."""
@@ -179,9 +197,7 @@ def _q_chunk_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.functions.tokens import num_tokens
     from ragflow_spark.kernels.chunkers import qa_pairs_tabular
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -226,9 +242,7 @@ def _q_chunk_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ragflow_spark.kernels.chunkers import tag_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -331,9 +345,7 @@ def _q_chunk_naive_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.functions.tokens import num_tokens
     from ragflow_spark.kernels.chunkers import naive_merge
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -417,9 +429,7 @@ def _q_chunk_naive_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.functions.tokens import num_tokens
     from ragflow_spark.kernels.chunkers import naive_merge
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -511,9 +521,7 @@ def _q_chunk_hier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.functions.tokens import num_tokens
     from ragflow_spark.kernels.chunkers import hierarchical_merge
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -626,9 +634,7 @@ def _q_chunk_book_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.functions.tokens import num_tokens
     from ragflow_spark.kernels.chunkers import book_chunk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -678,9 +684,7 @@ def _q_chunk_laws_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.functions.tokens import num_tokens
     from ragflow_spark.kernels.chunkers import laws_chunk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -745,9 +749,7 @@ def _q_chunk_email_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.functions.tokens import num_tokens
     from ragflow_spark.kernels.chunkers import email_chunk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -793,9 +795,7 @@ def _q_chunk_one_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     restoration; the oracle re-joins the thirds in seq order."""
     from ragflow_spark.ops import assembly as _asm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
     words = F.split(F.trim("text"), r"\s+")
     n = F.size(words)
     third = (n + F.lit(2)) / F.lit(3)
@@ -848,9 +848,7 @@ def _q_chunk_manual_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.functions.tokens import num_tokens
     from ragflow_spark.kernels.chunkers import manual_chunk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -949,9 +947,7 @@ def _q_chunk_presentation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.functions.tokens import num_tokens
     from ragflow_spark.kernels.chunkers import presentation_chunk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -1049,9 +1045,7 @@ def _q_chunk_paper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.functions.tokens import num_tokens
     from ragflow_spark.kernels.chunkers import paper_chunk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -1146,9 +1140,7 @@ def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared EN_NORM_DUCK_SQL expression."""
     from ragflow_spark.operators.extract import with_ltks
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
     sufs = F.array(*[F.lit(s) for s in ["", "s", "ing", "ed", "ies"]])
     words = F.split(F.trim("text"), r"\s+")
     suffixed = F.array_join(
@@ -1204,9 +1196,7 @@ def _q_chunk_picture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ragflow_spark.kernels.media_docs import picture_doc
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
 
     def stub_describe(fn: str, txt: str) -> str:
         return "photo of " + (txt.split() or ["nothing"])[0]
@@ -1305,9 +1295,7 @@ def _q_chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ragflow_spark.kernels.media_docs import audio_doc
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
     exts = [".wav", ".mp3", ".xyz", ""]
 
     def run(batches):
@@ -1363,9 +1351,7 @@ def _q_chunk_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ragflow_spark.kernels.media_docs import resume_doc
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
     degrees = ["本科", "硕士", "博士", "专科"]
 
     def run(batches):
@@ -1471,9 +1457,7 @@ def _q_es_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer (first page / flattened position string)."""
     from ragflow_spark.operators.extract import assemble_es_docs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
     words = F.split(F.trim("text"), r"\s+")
     k = F.ceil(F.size(words) / F.lit(2.0)).cast("int")
     halves = F.array(
@@ -1573,9 +1557,7 @@ def _q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction, and \\s+ normalization all at once."""
     from ragflow_spark.operators.extract import extract_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
     words = F.split(F.trim("text"), r"\s+")
     g = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
 
@@ -1659,9 +1641,7 @@ def _q_layout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     → bullet_merge no-op; no sentence-end periods)."""
     from ragflow_spark.operators.extract import extract_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _docs_scan(spark, sf_dir)
     words = F.split(F.trim("text"), r"\s+")
 
     def jn(a: int, b: int):  # 1-based inclusive word-slice join
