@@ -224,8 +224,13 @@ def knn_ivf(
         .where(F.col("rn") <= nprobe)
         .select("query_id", "qv", "list_id")
     )
+    # Broadcast the PROBES side (bounded: |queries| × nprobe rows): a
+    # shuffle join here would hash the whole corpus onto list_id's nlist
+    # distinct keys — a 16-partition skew shuffle at 100 TB. Broadcasting
+    # keeps the corpus side shuffle-free; candidates flow map-side into
+    # the per-query top-k.
     scored = (
-        probes.join(assigned, "list_id")
+        F.broadcast(probes).join(assigned, "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", _dot(F.col("qv"), F.col("v")).alias("cos"))
     )
