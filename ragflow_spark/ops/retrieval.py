@@ -130,10 +130,29 @@ def load_tag_file(path: str, boosts: dict[str, float]) -> dict[str, str]:
     }
 
 
+def _pos_from_huqie() -> dict[str, str] | None:
+    """Reference parity: POS tags come from the huqie dictionary's tag
+    column (term_weight.py:177-186 calls rag_tokenizer.tag, which reads
+    huqie.txt). When a full-scale tokenizer dict is plugged in but no
+    explicit POS json is, derive the POS table from it."""
+    from ragflow_spark.functions.trie_tokenizer import DICT_ENV, load_dict_file
+
+    hq = os.environ.get(DICT_ENV, "")
+    if not hq:
+        return None
+    return {
+        w.lower(): p for w, _, p in load_dict_file(hq) if p in POS_BOOSTS
+    }
+
+
 _ner_path = os.environ.get(NER_ENV, "")
 NER_DICT = load_tag_file(_ner_path, NER_BOOSTS) if _ner_path else VENDORED_NER
 _pos_path = os.environ.get(POS_ENV, "")
-POS_DICT = load_tag_file(_pos_path, POS_BOOSTS) if _pos_path else VENDORED_POS
+POS_DICT = (
+    load_tag_file(_pos_path, POS_BOOSTS)
+    if _pos_path
+    else (_pos_from_huqie() or VENDORED_POS)
+)
 
 
 def _idf_expr(s, n: int):

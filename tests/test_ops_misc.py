@@ -374,3 +374,27 @@ def test_tag_dims_large_dict_join_path(spark, monkeypatch):
     base = out["plain"]
     assert abs(out["spark"] - 3.0 * base) < 1e-9
     assert abs(out["tok7"] - 3.0 * base) < 1e-9
+
+
+def test_pos_derived_from_huqie_dict(tmp_path):
+    """With $RAGFLOW_SPARK_HUQIE_DICT set and no POS json, POS boosts come
+    from the huqie tag column (reference: term_weight.py:177-186 via
+    rag_tokenizer.tag)."""
+    import os
+    import subprocess
+    import sys
+
+    p = tmp_path / "huqie.txt"
+    p.write_text("lake 2000000 ns\nrun 500000 v\nthe 9000000 d\n")
+    code = (
+        "from ragflow_spark.ops import retrieval as r\n"
+        "assert r.POS_DICT == {'lake': 'ns', 'the': 'd'}, r.POS_DICT\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ, RAGFLOW_SPARK_HUQIE_DICT=str(p),
+               PYTHONPATH="/root/repo")
+    env.pop("RAGFLOW_SPARK_POS_JSON", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
