@@ -171,15 +171,21 @@ def ivf_assignments(
     tr = _normed(emb.where(F.col("vec_id") % train_mod == 0))
     seed = _avg_by(tr, (F.col("vec_id") % nlist).cast("int"))
     assigned_tr = _assign(tr, seed)
-    # Materialize ONLY the tiny (nlist-row) centroid table: the eager
-    # localCheckpoint runs the whole training lineage (both sample
-    # aggregations) exactly once and truncates it, so downstream consumers
-    # broadcast a 16-row literal. The corpus-sized normalized/assigned
-    # frames are deliberately NOT cached — a pinned corpus is pure memory
-    # pressure at 100 TB, and each re-consumption is a narrow shuffle-free
-    # scan+normalize+argmax projection (same rationale as the round-3
-    # minhash corpus-cache removal, BENCH.md).
-    centroids = _avg_by(assigned_tr, F.col("list_id")).localCheckpoint()
+    # Materialize ONLY the tiny (nlist-row) centroid table: collect it to
+    # the driver and re-emit as a LocalRelation, so the training lineage
+    # (both sample aggregations) runs exactly once and every downstream
+    # consumer broadcasts a 16-row literal with zero lineage. Collecting
+    # nlist rows is scale-independent — this is NOT a corpus collect. The
+    # corpus-sized normalized/assigned frames are deliberately NOT cached
+    # — a pinned corpus is pure memory pressure at 100 TB, and each
+    # re-consumption is a narrow shuffle-free scan+normalize+argmax
+    # projection (same rationale as the round-3 minhash corpus-cache
+    # removal, BENCH.md).
+    crows = _avg_by(assigned_tr, F.col("list_id")).collect()
+    centroids = spark.createDataFrame(
+        [(int(r["list_id"]), [float(x) for x in r["c"]]) for r in crows],
+        "list_id int, c array<double>",
+    )
     final = _assign(n, centroids)
     return centroids, final
 
