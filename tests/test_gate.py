@@ -72,3 +72,33 @@ def test_oracled_queries_fit_driver_window():
     window = set(names[:50])
     missing = oracled - window
     assert not missing, f"oracled queries outside the 50-entry window: {missing}"
+
+
+def test_docs_scan_split_guard(spark):
+    """_docs_scan spreads a single-split scan to defaultParallelism and
+    leaves a well-split input alone (no repartition shuffle at scale)."""
+    import __spark_entry__ as entrymod
+
+    par = spark.sparkContext.defaultParallelism
+    docs = entrymod._docs_scan(spark, "/root/testdata/sf0.001")
+    assert docs.rdd.getNumPartitions() == par  # one file -> spread
+    assert set(docs.columns) == {"doc_id", "text"}
+    # well-split stand-in: >= par partitions must pass through untouched
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/documents.parquet"
+        spark.range(0, 2 * par).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS text"
+        ).repartition(2 * par).write.parquet(p)
+        # tiny files pack into one split via openCostInBytes — inflate it
+        # so the 2*par files really plan as >= par splits
+        key = "spark.sql.files.openCostInBytes"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(128 * 1024 * 1024))
+        try:
+            wide = entrymod._docs_scan(spark, td)
+            plan = wide._jdf.queryExecution().optimizedPlan().toString()
+            assert "Repartition" not in plan, plan
+        finally:
+            spark.conf.set(key, old)
