@@ -1707,6 +1707,12 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+def _q_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragflow_spark.ops.quality import retrieval_quality
+
+    return retrieval_quality(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered ORACLED-FIRST: the driver's correctness file records only the
     first 50 entries, so every query carrying a DuckDB oracle must precede
@@ -1781,6 +1787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_email": _mk_chunk("email", 128),
         "chunk_presentation": _mk_chunk("presentation", 512),
         "chunk_one": _q_chunk_one,
+        # retrieval-quality harness (rag/benchmark.py:242-276 cutoffs):
+        # rows-only — qrels are corpus-derived (dense top-3), the metric
+        # math is pytest-golden-checked (tests/test_quality.py)
+        "retrieval_quality": _q_retrieval_quality,
     }
 
 

@@ -1,0 +1,82 @@
+"""Retrieval-quality metrics (reference rag/benchmark.py:242-276 cutoffs)."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_ranking_metrics_hand_golden(spark):
+    """Three queries computed by hand: full hits, partial, and a miss."""
+    from ragflow_spark.ops.quality import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [
+            ("A", 1, "d1"), ("A", 2, "d9"), ("A", 3, "d2"), ("A", 7, "d3"),
+            ("B", 1, "d8"), ("B", 4, "d7"),
+            ("C", 1, "d9"), ("C", 2, "d8"),
+        ],
+        "query_id string, rank int, doc_id string",
+    )
+    qrels = spark.createDataFrame(
+        [
+            ("A", "d1", 1), ("A", "d2", 1), ("A", "d3", 1),
+            ("B", "d7", 1),
+            ("C", "d5", 1),
+        ],
+        "query_id string, doc_id string, rel int",
+    )
+    out = {r["metric"]: r["value_r6"]
+           for r in ranking_metrics(ranked, qrels).collect()}
+
+    def l2(x):
+        return math.log2(x)
+
+    ndcg_a = (1 / l2(2) + 1 / l2(4) + 1 / l2(8)) / (
+        1 / l2(2) + 1 / l2(3) + 1 / l2(4)
+    )
+    ndcg_b = (1 / l2(5)) / 1.0
+    exp_ndcg = round((ndcg_a + ndcg_b + 0.0) / 3, 6)
+    # A: hits at ranks 1,3 within k=5 → (1/1 + 2/3)/min(3,5); B: (1/4)/1; C: 0
+    exp_map = round(((1.0 + 2 / 3) / 3 + 0.25 + 0.0) / 3, 6)
+    exp_mrr = round((1.0 + 0.25 + 0.0) / 3, 6)
+    assert abs(out["ndcg@10"] - exp_ndcg) < 1e-6, out
+    assert abs(out["map@5"] - exp_map) < 1e-6, out
+    assert abs(out["mrr@10"] - exp_mrr) < 1e-6, out
+
+
+def test_ranking_metrics_cutoffs_and_grades(spark):
+    """A rel=2 doc doubles-and-one gains (2^rel-1); hits beyond each
+    cutoff contribute nothing."""
+    from ragflow_spark.ops.quality import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [("Q", 1, "lo"), ("Q", 6, "hi"), ("Q", 11, "out")],
+        "query_id string, rank int, doc_id string",
+    )
+    qrels = spark.createDataFrame(
+        [("Q", "hi", 2), ("Q", "lo", 1), ("Q", "out", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    out = {r["metric"]: r["value_r6"]
+           for r in ranking_metrics(ranked, qrels).collect()}
+    import math
+
+    l2 = math.log2
+    dcg = 1 / l2(2) + 3 / l2(7)  # rank-11 hit is past ndcg@10
+    idcg = 3 / l2(2) + 1 / l2(3) + 1 / l2(4)
+    assert abs(out["ndcg@10"] - round(dcg / idcg, 6)) < 1e-6, out
+    # only the rank-1 hit is inside map@5; 3 relevant docs
+    assert abs(out["map@5"] - round(1.0 / 3, 6)) < 1e-6, out
+    assert abs(out["mrr@10"] - 1.0) < 1e-6, out
+
+
+def test_retrieval_quality_corpus(spark):
+    """Fused hybrid ranking largely preserves dense top-3 relevance on the
+    sandbox corpus (0.95 weight on cosine → metrics near 1)."""
+    from ragflow_spark.ops.quality import retrieval_quality
+
+    out = {r["metric"]: r["value_r6"]
+           for r in retrieval_quality(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"ndcg@10", "map@5", "mrr@10"}
+    for k, v in out.items():
+        assert 0.5 < v <= 1.0, (k, v)
