@@ -182,9 +182,24 @@ def ivf_assignments(
     # projection (same rationale as the round-3 minhash corpus-cache
     # removal, BENCH.md).
     crows = _avg_by(assigned_tr, F.col("list_id")).collect()
-    centroids = spark.createDataFrame(
-        [(int(r["list_id"]), [float(x) for x in r["c"]]) for r in crows],
-        "list_id int, c array<double>",
+    # re-emit as a pure literal expression (inline of lit structs), NOT
+    # createDataFrame: the python-list path builds an RDD-backed plan that
+    # re-runs a defaultParallelism-sliced scan in EVERY consumer, while
+    # the literal folds to a LocalRelation — zero tasks, free to broadcast
+    centroids = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(r["list_id"])).alias("list_id"),
+                        F.array(
+                            *[F.lit(float(x)) for x in r["c"]]
+                        ).alias("c"),
+                    )
+                    for r in crows
+                ]
+            )
+        )
     )
     final = _assign(n, centroids)
     return centroids, final
@@ -218,6 +233,12 @@ def knn_ivf(
     q = qsrc.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+    # Probe selection: crossJoin the (bounded) query batch with the
+    # nlist-row broadcast centroid table + a per-query window. An
+    # all-literal array-expression formulation (sort/slice/transform over
+    # 16×64 lit doubles) measured 3× SLOWER despite having zero
+    # exchanges — catalyst re-folds the 1024-literal subtree on every
+    # plan, so driver-side compile dwarfs the tiny shuffle it saves.
     probes = (
         q.crossJoin(F.broadcast(centroids))
         .select("query_id", "qv", "list_id", _dot(F.col("qv"), F.col("c")).alias("cos"))
