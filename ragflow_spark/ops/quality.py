@@ -10,8 +10,8 @@ the corpus itself).
 Scale notes: every frame here is QUERY-side (|queries| × k rows), never
 corpus-side — joins are on query_id/doc_id of bounded ranking lists, so
 the whole evaluation is a handful of tiny shuffles regardless of corpus
-size. All math is JVM expressions (log2 via log(2.0, x), window ranks);
-no Python UDFs.
+size. All math is JVM expressions (F.log2, window ranks); no Python
+UDFs.
 """
 
 from __future__ import annotations
