@@ -102,3 +102,24 @@ def test_docs_scan_split_guard(spark):
             assert "Repartition" not in plan, plan
         finally:
             spark.conf.set(key, old)
+
+
+def test_corpus_word_count_within_oracle_caps():
+    """The closed-form oracles enumerate bounded generate_series ranges
+    (extract_docs: 40 paragraphs x 8 words = 320; fold oracles: 80
+    sections / 400 words). A corpus doc outgrowing the tightest cap would
+    silently truncate the ORACLE side only (CLAUDE.md invariant) — pin it
+    here instead of discovering it as an unexplained hash mismatch."""
+    import os
+
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        p = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        (mx,) = duckdb.sql(
+            f"SELECT max(len(regexp_split_to_array(trim(text), '\\s+')))"
+            f" FROM '{p}'"
+        ).fetchone()
+        assert mx <= 320, f"sf{sf}: {mx} words > extract_docs oracle cap"
