@@ -80,3 +80,68 @@ def test_retrieval_quality_corpus(spark):
     assert set(out) == {"ndcg@10", "map@5", "mrr@10"}
     for k, v in out.items():
         assert 0.5 < v <= 1.0, (k, v)
+
+
+def test_ranking_metrics_random_vs_python_reference(spark):
+    """40 seeded-random queries (varying depths, grades, misses, ties) in
+    ONE evaluation, cross-checked against an independent pure-python
+    implementation of ndcg@10/map@5/mrr@10."""
+    import math
+    import random
+
+    from ragflow_spark.ops.quality import ranking_metrics
+
+    rng = random.Random(42)
+    ranked_rows, qrel_rows = [], []
+    py_ndcg, py_map, py_mrr = [], [], []
+    for qi in range(40):
+        q = f"q{qi}"
+        docs = [f"d{qi}_{j}" for j in range(rng.randint(1, 15))]
+        ranking = docs[:]
+        rng.shuffle(ranking)
+        ranked_rows += [(q, r + 1, d) for r, d in enumerate(ranking)]
+        rels = {
+            d: rng.randint(1, 3)
+            for d in docs + [f"x{qi}_{j}" for j in range(rng.randint(0, 3))]
+            if rng.random() < 0.5
+        }
+        if not rels:  # query absent from qrels: excluded from the universe
+            continue
+        qrel_rows += [(q, d, r) for d, r in rels.items()]
+        # python reference
+        pos = {d: i + 1 for i, d in enumerate(ranking)}
+        dcg = sum(
+            (2 ** rels[d] - 1) / math.log2(pos[d] + 1)
+            for d in rels
+            if d in pos and pos[d] <= 10
+        )
+        ideal = sorted(rels.values(), reverse=True)[:10]
+        idcg = sum(
+            (2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(ideal)
+        )
+        py_ndcg.append(dcg / idcg)
+        hits_sorted = sorted(pos[d] for d in rels if d in pos)
+        py_map.append(
+            sum(
+                (i + 1) / r
+                for i, r in enumerate(hits_sorted)
+                if r <= 5
+            )
+            / min(len(rels), 5)
+        )
+        py_mrr.append(
+            1.0 / hits_sorted[0]
+            if hits_sorted and hits_sorted[0] <= 10
+            else 0.0
+        )
+    ranked = spark.createDataFrame(
+        ranked_rows, "query_id string, rank int, doc_id string"
+    )
+    qrels = spark.createDataFrame(
+        qrel_rows, "query_id string, doc_id string, rel int"
+    )
+    out = {r["metric"]: r["value_r6"]
+           for r in ranking_metrics(ranked, qrels).collect()}
+    assert abs(out["ndcg@10"] - round(sum(py_ndcg) / len(py_ndcg), 6)) < 2e-6
+    assert abs(out["map@5"] - round(sum(py_map) / len(py_map), 6)) < 2e-6
+    assert abs(out["mrr@10"] - round(sum(py_mrr) / len(py_mrr), 6)) < 2e-6
