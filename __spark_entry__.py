@@ -1184,6 +1184,41 @@ GROUP BY doc_id
 """
 
 
+# compound CJK vocabulary chosen to exercise the trie max-match + DFS
+# disagreement path (nested compounds segment differently FW vs BW)
+_CJK_VOCAB = [
+    "中华人民共和国", "分布式系统", "机器学习", "数据库", "中国科学院",
+    "主要内容", "表格识别", "文档处理", "大规模计算", "页面布局",
+]
+
+
+def _q_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK tokenization through the REAL trie path (functions/
+    trie_tokenizer.py FW+BW max-match + scored DFS; reference
+    rag_tokenizer.py:89-180): each documents row becomes a deterministic
+    compound-CJK sentence (three vocab compounds picked by doc_id, a
+    full-width comma, one ascii word) run through with_ltks. Rows-only —
+    the segmentation is the DFS itself, not SQL-expressible; pytest pins
+    Spark ≡ per-doc kernel tokenize() on the same construction."""
+    from ragflow_spark.operators.extract import with_ltks
+
+    docs = _docs_scan(spark, sf_dir)
+    vocab = F.array(*[F.lit(w) for w in _CJK_VOCAB])
+    n = len(_CJK_VOCAB)
+    pick = lambda off: F.element_at(  # noqa: E731
+        vocab, ((F.col("doc_id") + off) % n).cast("int") + 1
+    )
+    first_word = F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+    cjk = F.concat(
+        pick(0), pick(3), F.lit("，"), pick(7), F.lit(" "), first_word
+    )
+    base = docs.select(
+        F.concat(F.lit("cj-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        cjk.alias("text"),
+    )
+    return with_ltks(base)
+
+
 def _q_chunk_picture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Picture chunker doc assembly (kernels/media_docs.picture_doc,
     rag/app/picture.py:34-65) bit-checked over documents: even doc_ids
@@ -1791,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only — qrels are corpus-derived (dense top-3), the metric
         # math is pytest-golden-checked (tests/test_quality.py)
         "retrieval_quality": _q_retrieval_quality,
+        "tokenize_cjk": _q_tokenize_cjk,
     }
 
 

@@ -180,3 +180,42 @@ def test_env_dict_missing_path_raises(monkeypatch):
             tt.default_tokenizer()
     finally:
         tt.reset_default_tokenizer()
+
+
+def test_tokenize_cjk_driver_query_equals_kernel(spark):
+    """The tokenize_cjk driver query's Spark path (with_ltks mapInPandas)
+    must equal the single-doc kernel tokenize()/fine_grained_tokenize()
+    on the same deterministic CJK construction (CLAUDE.md: new physical
+    paths need an equality test vs the single-doc kernel)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from ragflow_spark.functions.trie_tokenizer import (
+        fine_grained_tokenize,
+        tokenize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["doc_id"]: (r["text"], r["content_ltks"], r["content_sm_ltks"])
+        for r in entrymod._q_tokenize_cjk(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT doc_id, trim(text) FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    assert len(out) == len(rows) > 0
+    n = len(entrymod._CJK_VOCAB)
+    v = entrymod._CJK_VOCAB
+    checked_multi = 0
+    for doc_id, text in rows:
+        built = (
+            v[doc_id % n] + v[(doc_id + 3) % n] + "，"
+            + v[(doc_id + 7) % n] + " " + text.split()[0]
+        )
+        got_text, got_ltks, got_sm = out[f"cj-{doc_id}"]
+        assert got_text == built
+        assert got_ltks == tokenize(built)
+        assert got_sm == fine_grained_tokenize(tokenize(built))
+        if len(got_ltks.split()) > 4:
+            checked_multi += 1
+    assert checked_multi > 0  # compounds actually segmented into pieces
