@@ -1673,7 +1673,11 @@ def _q_layout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout_recognizer.py:116-162). The closed form: the whole left column
     folds into one span, the right column into a second — pure word-slice
     joins. Relies on the all-lowercase-ascii corpus (first chars are latin
-    → bullet_merge no-op; no sentence-end periods)."""
+    → bullet_merge no-op; no sentence-end periods) AND on every doc having
+    >= 10 words (the right column slices words 9..10; a shorter doc would
+    emit empty-text spans that the layout filter path and the SQL oracle
+    treat differently — floor pinned by
+    test_gate.test_corpus_word_count_within_oracle_caps)."""
     from ragflow_spark.operators.extract import extract_spans
 
     docs = _docs_scan(spark, sf_dir)

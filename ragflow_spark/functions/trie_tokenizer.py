@@ -359,16 +359,31 @@ def load_dict_file(path: str) -> list[tuple[str, int, str]]:
     lowercased key)."""
     out: dict[str, tuple[int, str]] = {}
     with open(path, encoding="utf-8") as fh:
-        for raw in fh:
+        for lineno, raw in enumerate(fh, 1):
             parts = re.split(r"[ \t]+", raw.strip())
             if not parts or not parts[0] or parts[0].startswith("#"):
                 continue
             w = parts[0].lower()
-            f = (
-                int(math.log(float(parts[1]) / _HUQIE_DENOMINATOR) + 0.5)
-                if len(parts) > 1
-                else 0
-            )
+            if len(parts) > 1:
+                try:
+                    freq = float(parts[1])
+                except ValueError as e:
+                    # one bad line in a 500k-entry file must point at itself,
+                    # not abort every executor with a bare ValueError
+                    raise ValueError(
+                        f"{path}:{lineno}: non-numeric frequency "
+                        f"{parts[1]!r} for word {parts[0]!r}"
+                    ) from e
+                # freq <= 0 is legal-looking input (a zero-count survey
+                # entry): clamp to the no-freq scaled value instead of
+                # letting math.log raise a domain error
+                f = (
+                    int(math.log(freq / _HUQIE_DENOMINATOR) + 0.5)
+                    if freq > 0
+                    else 0
+                )
+            else:
+                f = 0
             p = parts[2] if len(parts) > 2 else ""
             if w not in out or out[w][0] < f:
                 out[w] = (f, p)

@@ -43,9 +43,17 @@ def ranking_metrics(
 
     ranked: (query_id, rank, doc_id) with 1-based rank.
     qrels:  (query_id, doc_id, rel) graded relevance, rel > 0 = relevant.
+
+    Graded/deep-qrels parity with the reference scorer (ranx, used by
+    rag/benchmark.py): DCG uses the Jarvelin gain ``rel / log2(rank+1)``
+    (ranx's ndcg default, not the exponential 2^rel-1 variant), and
+    AP@k divides the precision sum by the TOTAL relevant count ``n_rel``
+    (ranx map@k), not ``min(n_rel, k)``. Binary rel=1 qrels with
+    n_rel <= k make both families coincide; graded or deep qrels do not
+    — tests/test_quality.py pins the graded case.
     """
     hits = ranked.join(qrels, ["query_id", "doc_id"]).where(F.col("rel") > 0)
-    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / _log2(F.col("rank") + 1.0)
+    gain = F.col("rel") / _log2(F.col("rank") + 1.0)
     # precision@rank among the top-map_k hits: position of this hit in the
     # ranking's hit sequence / its rank
     hit_seq = F.row_number().over(
@@ -80,8 +88,7 @@ def ranking_metrics(
         F.sum(
             F.when(
                 F.col("pos") <= ndcg_k,
-                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
-                / _log2(F.col("pos") + 1.0),
+                F.col("rel") / _log2(F.col("pos") + 1.0),
             ).otherwise(0.0)
         ).alias("idcg"),
         F.count("*").alias("n_rel"),
@@ -92,7 +99,7 @@ def ranking_metrics(
         F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr"),
         (
             F.coalesce(F.col("prec_sum"), F.lit(0.0))
-            / F.least(F.col("n_rel"), F.lit(map_k)).cast("double")
+            / F.col("n_rel").cast("double")
         ).alias("ap"),
     )
     agg = per_q.agg(

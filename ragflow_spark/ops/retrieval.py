@@ -145,14 +145,10 @@ def _pos_from_huqie() -> dict[str, str] | None:
     }
 
 
-_ner_path = os.environ.get(NER_ENV, "")
-NER_DICT = load_tag_file(_ner_path, NER_BOOSTS) if _ner_path else VENDORED_NER
-_pos_path = os.environ.get(POS_ENV, "")
-POS_DICT = (
-    load_tag_file(_pos_path, POS_BOOSTS)
-    if _pos_path
-    else (_pos_from_huqie() or VENDORED_POS)
-)
+# NER_DICT / POS_DICT / SYNONYMS and the dict-derived SQL fragments are
+# (re-)resolved by _resolve_dictionaries() at the bottom of this module —
+# lazy enough to get a reset hook (tests flip the env knobs in-process via
+# reset_dictionaries() instead of shelling out to subprocesses).
 
 
 def _idf_expr(s, n: int):
@@ -233,10 +229,6 @@ def _values_dim(d: dict[str, str], boosts: dict[str, float], col: str) -> str:
     ) or "('', 1.0)"
     return f"(SELECT * FROM (VALUES {rows}) v(token, {col}))"
 
-
-_DUCK_TAG_JOINS = f"""
-  LEFT JOIN {_values_dim(NER_DICT, NER_BOOSTS, 'ner_b')} nd USING (token)
-  LEFT JOIN {_values_dim(POS_DICT, POS_BOOSTS, 'pos_b')} pd USING (token)"""
 
 _DUCK_RAW_WEIGHT = f"""
 (0.3 * log10(10 + (({_FREQ_N} -
@@ -324,7 +316,8 @@ def term_weights(
     )
 
 
-TERM_WEIGHTS_SQL = f"""
+def _build_term_weights_sql() -> str:
+    return f"""
 WITH {_DUCK_CORPUS_STATS.strip()},
 qtoks AS (
   SELECT DISTINCT doc_id,
@@ -434,14 +427,6 @@ VENDORED_SYNONYMS: dict[str, list[str]] = {
     "query": ["request"],
     "table": ["relation"],
 }
-
-_syn_path = os.environ.get(SYNONYM_ENV, "")
-if _syn_path:
-    # a set-but-missing path raises here (import time, driver-side) rather
-    # than silently falling back to the vendored subset
-    SYNONYMS = load_synonym_file(_syn_path)
-else:
-    SYNONYMS = VENDORED_SYNONYMS
 
 # minimum_should_match retry ladder: question() compiles at 0.6
 # (rag/nlp/query.py:85), retrieval first calls with 0.3 and retries an empty
@@ -584,19 +569,13 @@ _FIELDS_VALUES = ", ".join(
     f"({i}, '{f}', {b})" for i, (f, b) in enumerate(QUERY_FIELDS)
 )
 
-# single quotes doubled so a loaded dictionary with apostrophes still
-# compiles as a SQL VALUES list
-_SYN_VALUES = ", ".join(
-    "('{}', '{}')".format(k.replace("'", "''"), s.replace("'", "''"))
-    for k, syns in SYNONYMS.items()
-    for s in syns
-)
-
 _MM_VALUES = ", ".join(
     f"({i}, '{name}', {v})" for i, (name, v) in enumerate(MIN_MATCH_LADDER)
 )
 
-QUERY_BUILD_SQL = f"""
+
+def _build_query_build_sql() -> str:
+    return f"""
 WITH {_DUCK_CORPUS_STATS.strip()},
 q AS (
   SELECT doc_id AS query_id, {_DUCK_CLEAN} AS q
@@ -864,3 +843,55 @@ ranked AS (
 SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, fused_r6
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ------------------------------------------------------ dictionary resolution
+NER_DICT: dict[str, str] = {}
+POS_DICT: dict[str, str] = {}
+SYNONYMS: dict[str, list[str]] = {}
+_DUCK_TAG_JOINS = ""
+_SYN_VALUES = ""
+TERM_WEIGHTS_SQL = ""
+QUERY_BUILD_SQL = ""
+
+
+def _resolve_dictionaries() -> None:
+    """Resolve the pluggable dictionaries from their env knobs and rebuild
+    every dict-derived SQL fragment (the oracle side must see the same
+    dictionary as the Spark side). Runs at import and from
+    reset_dictionaries(); a set-but-missing path raises here (driver-side)
+    rather than silently falling back to the vendored subset."""
+    global NER_DICT, POS_DICT, SYNONYMS, _DUCK_TAG_JOINS, _SYN_VALUES
+    global TERM_WEIGHTS_SQL, QUERY_BUILD_SQL
+    ner_path = os.environ.get(NER_ENV, "")
+    NER_DICT = load_tag_file(ner_path, NER_BOOSTS) if ner_path else VENDORED_NER
+    pos_path = os.environ.get(POS_ENV, "")
+    POS_DICT = (
+        load_tag_file(pos_path, POS_BOOSTS)
+        if pos_path
+        else (_pos_from_huqie() or VENDORED_POS)
+    )
+    syn_path = os.environ.get(SYNONYM_ENV, "")
+    SYNONYMS = load_synonym_file(syn_path) if syn_path else VENDORED_SYNONYMS
+    _DUCK_TAG_JOINS = f"""
+  LEFT JOIN {_values_dim(NER_DICT, NER_BOOSTS, 'ner_b')} nd USING (token)
+  LEFT JOIN {_values_dim(POS_DICT, POS_BOOSTS, 'pos_b')} pd USING (token)"""
+    # single quotes doubled so a loaded dictionary with apostrophes still
+    # compiles as a SQL VALUES list
+    _SYN_VALUES = ", ".join(
+        "('{}', '{}')".format(k.replace("'", "''"), s.replace("'", "''"))
+        for k, syns in SYNONYMS.items()
+        for s in syns
+    )
+    TERM_WEIGHTS_SQL = _build_term_weights_sql()
+    QUERY_BUILD_SQL = _build_query_build_sql()
+
+
+def reset_dictionaries() -> None:
+    """Re-resolve after flipping $RAGFLOW_SPARK_{SYNONYM,NER,POS}_JSON or
+    $RAGFLOW_SPARK_HUQIE_DICT (mirrors trie_tokenizer's
+    reset_default_tokenizer hook — ADVICE r4)."""
+    _resolve_dictionaries()
+
+
+_resolve_dictionaries()

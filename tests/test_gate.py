@@ -118,8 +118,13 @@ def test_corpus_word_count_within_oracle_caps():
         p = f"/root/testdata/sf{sf}/documents.parquet"
         if not os.path.exists(p):
             continue
-        (mx,) = duckdb.sql(
-            f"SELECT max(len(regexp_split_to_array(trim(text), '\\s+')))"
+        (mn, mx) = duckdb.sql(
+            f"SELECT min(len(regexp_split_to_array(trim(text), '\\s+'))),"
+            f" max(len(regexp_split_to_array(trim(text), '\\s+')))"
             f" FROM '{p}'"
         ).fetchone()
         assert mx <= 320, f"sf{sf}: {mx} words > extract_docs oracle cap"
+        # layout_docs/table_docs hard-slice words 1..10: a doc shorter than
+        # 10 words would emit empty-text spans the kernel filter path and
+        # the SQL oracle treat differently (ADVICE r4)
+        assert mn >= 10, f"sf{sf}: {mn}-word doc < layout_docs oracle floor"

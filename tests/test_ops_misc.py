@@ -398,3 +398,25 @@ def test_pos_derived_from_huqie_dict(tmp_path):
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     assert "ok" in out.stdout
+
+
+def test_reset_dictionaries_in_process(tmp_path, monkeypatch):
+    """reset_dictionaries() re-resolves the env knobs without a subprocess
+    and rebuilds the dict-derived SQL fragments (ADVICE r4)."""
+    import json
+
+    from ragflow_spark.ops import retrieval as r
+
+    syn = tmp_path / "syn.json"
+    syn.write_text(json.dumps({"rock": ["stone"]}))
+    monkeypatch.setenv(r.SYNONYM_ENV, str(syn))
+    try:
+        r.reset_dictionaries()
+        assert r.SYNONYMS == {"rock": ["stone"]}
+        assert "('rock', 'stone')" in r._SYN_VALUES
+        assert "('rock', 'stone')" in r.QUERY_BUILD_SQL
+    finally:
+        monkeypatch.delenv(r.SYNONYM_ENV)
+        r.reset_dictionaries()
+    assert r.SYNONYMS == r.VENDORED_SYNONYMS
+    assert "('fast', 'quick')" in r.QUERY_BUILD_SQL

@@ -36,7 +36,7 @@ def test_ranking_metrics_hand_golden(spark):
     )
     ndcg_b = (1 / l2(5)) / 1.0
     exp_ndcg = round((ndcg_a + ndcg_b + 0.0) / 3, 6)
-    # A: hits at ranks 1,3 within k=5 → (1/1 + 2/3)/min(3,5); B: (1/4)/1; C: 0
+    # A: hits at ranks 1,3 within k=5 → (1/1 + 2/3)/3 relevant; B: (1/4)/1; C: 0
     exp_map = round(((1.0 + 2 / 3) / 3 + 0.25 + 0.0) / 3, 6)
     exp_mrr = round((1.0 + 0.25 + 0.0) / 3, 6)
     assert abs(out["ndcg@10"] - exp_ndcg) < 1e-6, out
@@ -45,8 +45,8 @@ def test_ranking_metrics_hand_golden(spark):
 
 
 def test_ranking_metrics_cutoffs_and_grades(spark):
-    """A rel=2 doc doubles-and-one gains (2^rel-1); hits beyond each
-    cutoff contribute nothing."""
+    """Graded rels use the linear Jarvelin gain rel/log2(rank+1) (ranx's
+    ndcg default); hits beyond each cutoff contribute nothing."""
     from ragflow_spark.ops.quality import ranking_metrics
 
     ranked = spark.createDataFrame(
@@ -62,8 +62,8 @@ def test_ranking_metrics_cutoffs_and_grades(spark):
     import math
 
     l2 = math.log2
-    dcg = 1 / l2(2) + 3 / l2(7)  # rank-11 hit is past ndcg@10
-    idcg = 3 / l2(2) + 1 / l2(3) + 1 / l2(4)
+    dcg = 1 / l2(2) + 2 / l2(7)  # rank-11 hit is past ndcg@10
+    idcg = 2 / l2(2) + 1 / l2(3) + 1 / l2(4)
     assert abs(out["ndcg@10"] - round(dcg / idcg, 6)) < 1e-6, out
     # only the rank-1 hit is inside map@5; 3 relevant docs
     assert abs(out["map@5"] - round(1.0 / 3, 6)) < 1e-6, out
@@ -111,14 +111,12 @@ def test_ranking_metrics_random_vs_python_reference(spark):
         # python reference
         pos = {d: i + 1 for i, d in enumerate(ranking)}
         dcg = sum(
-            (2 ** rels[d] - 1) / math.log2(pos[d] + 1)
+            rels[d] / math.log2(pos[d] + 1)
             for d in rels
             if d in pos and pos[d] <= 10
         )
         ideal = sorted(rels.values(), reverse=True)[:10]
-        idcg = sum(
-            (2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(ideal)
-        )
+        idcg = sum(r / math.log2(i + 2) for i, r in enumerate(ideal))
         py_ndcg.append(dcg / idcg)
         hits_sorted = sorted(pos[d] for d in rels if d in pos)
         py_map.append(
@@ -127,7 +125,7 @@ def test_ranking_metrics_random_vs_python_reference(spark):
                 for i, r in enumerate(hits_sorted)
                 if r <= 5
             )
-            / min(len(rels), 5)
+            / len(rels)
         )
         py_mrr.append(
             1.0 / hits_sorted[0]

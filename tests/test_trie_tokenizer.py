@@ -219,3 +219,21 @@ def test_tokenize_cjk_driver_query_equals_kernel(spark):
         if len(got_ltks.split()) > 4:
             checked_multi += 1
     assert checked_multi > 0  # compounds actually segmented into pieces
+
+
+def test_load_dict_file_bad_lines(tmp_path):
+    """A zero/negative freq clamps to the no-freq scale instead of a math
+    domain error; a non-numeric freq names the file and line (ADVICE r4)."""
+    import pytest
+
+    from ragflow_spark.functions.trie_tokenizer import load_dict_file
+
+    ok = tmp_path / "ok.txt"
+    ok.write_text("alpha 0 n\nbeta -3 n\ngamma\n")
+    entries = {w: (f, p) for w, f, p in load_dict_file(str(ok))}
+    assert entries == {"alpha": (0, "n"), "beta": (0, "n"), "gamma": (0, "")}
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("alpha 10 n\nbeta oops n\n")
+    with pytest.raises(ValueError, match=r"bad\.txt:2: non-numeric"):
+        load_dict_file(str(bad))
