@@ -620,19 +620,21 @@ FROM united
 """
 
 
-def _q_chunk_book_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """book_chunk DISPATCH (kernels/chunkers.py, rag/app/book.py:131-143)
-    bit-checked: even doc_ids get the chunk_hier_docs section shape (the
-    'Chapter 1' bullet makes bullets_category pick the EN dialect →
-    hierarchical route), odd doc_ids get plain 5-word sections (no bullet
-    → naive route at the same budget 16). The oracle is the union of the
-    two existing fold oracles filtered by parity — so this query checks
-    that the dispatch itself (ToC removal and colon-title passes being
-    no-ops here) reproduces each route's exact output."""
+def _q_chunk_book_laws_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """book_chunk AND laws_chunk DISPATCH (kernels/chunkers.py,
+    rag/app/book.py:131-143 + rag/app/laws.py:143-211) bit-checked in one
+    window slot (the two dispatch oracles produced identical folds — r4
+    verdict asked for the consolidation): even doc_ids get the
+    chunk_hier_docs section shape (the 'Chapter 1' bullet makes
+    bullets_category pick the EN dialect → hierarchical route; laws takes
+    the depth-5 variant minus the ToC/colon passes), odd doc_ids get plain
+    5-word sections (no bullet → naive route at the same budget 16). Each
+    document emits BOTH chunkers' output, prefixed bk-/lw-; the oracle is
+    the parity union of the two existing fold oracles, doubled."""
     import pandas as pd
 
     from ragflow_spark.functions.tokens import num_tokens
-    from ragflow_spark.kernels.chunkers import book_chunk
+    from ragflow_spark.kernels.chunkers import book_chunk, laws_chunk
 
     docs = _docs_scan(spark, sf_dir)
 
@@ -654,11 +656,12 @@ def _q_chunk_book_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (" ".join(w[i:i + 5]) + "\n", "text")
                         for i in range(0, len(w), 5)
                     ]
-                for i, ck in enumerate(book_chunk(secs, True, 16, "\n")):
-                    ids.append(f"bk-{doc_id}")
-                    seqs.append(i)
-                    texts.append(ck)
-                    toks.append(num_tokens(ck))
+                for pre, chunker in (("bk", book_chunk), ("lw", laws_chunk)):
+                    for i, ck in enumerate(chunker(secs, True, 16, "\n")):
+                        ids.append(f"{pre}-{doc_id}")
+                        seqs.append(i)
+                        texts.append(ck)
+                        toks.append(num_tokens(ck))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -674,69 +677,25 @@ def _q_chunk_book_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_chunk_laws_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """laws_chunk dispatch (kernels/chunkers.py, rag/app/laws.py:143-211):
-    same two-route structure as chunk_book_docs (bullet → hierarchical
-    depth 5, none → naive fallback) minus the ToC/colon passes, plus the
-    empty-section filter. Oracled by the same parity union."""
-    import pandas as pd
-
-    from ragflow_spark.functions.tokens import num_tokens
-    from ragflow_spark.kernels.chunkers import laws_chunk
-
-    docs = _docs_scan(spark, sf_dir)
-
-    def run(batches):
-        for pdf in batches:
-            ids, seqs, texts, toks = [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                w = (text or "").split()
-                if doc_id % 2 == 0:
-                    secs = [
-                        (" ".join(w[2 * i:2 * i + 2] * 24), "text")
-                        for i in range(4)
-                    ]
-                    secs.append(("Chapter 1", "text"))
-                    secs.append((" ".join(w[8:11]), "text"))
-                    secs.append((" ".join(w[11:14]), "text"))
-                else:
-                    secs = [
-                        (" ".join(w[i:i + 5]) + "\n", "text")
-                        for i in range(0, len(w), 5)
-                    ]
-                for i, ck in enumerate(laws_chunk(secs, True, 16, "\n")):
-                    ids.append(f"lw-{doc_id}")
-                    seqs.append(i)
-                    texts.append(ck)
-                    toks.append(num_tokens(ck))
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "chunk_seq": seqs,
-                    "text": texts,
-                    "token_count": toks,
-                }
-            )
-
-    return docs.mapInPandas(
-        run,
-        schema="doc_id string, chunk_seq int, text string, token_count int",
-    )
-
-
-# dispatch oracle = union of the two route oracles, parity-filtered; the
-# subqueries carry their own WITH RECURSIVE blocks
-_CHUNK_BOOK_DOCS_SQL = f"""
+# dispatch oracle = union of the two route oracles, parity-filtered, once
+# per prefix; the subqueries carry their own WITH RECURSIVE blocks
+_CHUNK_BOOK_LAWS_DOCS_SQL = f"""
 SELECT 'bk-' || substr(doc_id, 4) AS doc_id, chunk_seq, text, token_count
-FROM ({_CHUNK_HIER_DOCS_SQL}) h
+FROM ({_CHUNK_HIER_DOCS_SQL}) h1
 WHERE CAST(substr(doc_id, 4) AS BIGINT) % 2 = 0
 UNION ALL
 SELECT 'bk-' || substr(doc_id, 4) AS doc_id, chunk_seq, text, token_count
-FROM ({_CHUNK_NAIVE_DOCS_SQL}) n
+FROM ({_CHUNK_NAIVE_DOCS_SQL}) n1
+WHERE CAST(substr(doc_id, 4) AS BIGINT) % 2 = 1
+UNION ALL
+SELECT 'lw-' || substr(doc_id, 4) AS doc_id, chunk_seq, text, token_count
+FROM ({_CHUNK_HIER_DOCS_SQL}) h2
+WHERE CAST(substr(doc_id, 4) AS BIGINT) % 2 = 0
+UNION ALL
+SELECT 'lw-' || substr(doc_id, 4) AS doc_id, chunk_seq, text, token_count
+FROM ({_CHUNK_NAIVE_DOCS_SQL}) n2
 WHERE CAST(substr(doc_id, 4) AS BIGINT) % 2 = 1
 """
-
-_CHUNK_LAWS_DOCS_SQL = _CHUNK_BOOK_DOCS_SQL.replace("'bk-'", "'lw-'")
 
 
 def _q_chunk_email_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1732,6 +1691,120 @@ FROM w
 """
 
 
+def _q_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table/figure ASSEMBLY family, driver-oracled analytically (the
+    r4 verdict's top ask — kernels/assemble.py previously had pytest
+    goldens only): each documents row becomes a scrambled span set holding
+    a 3-column table whose header row is layout-tagged 'table header'
+    (pdf_parser.py:257-294 H-tagging), two body rows near the page-0
+    bottom, a page-1 continuation row (cross-page merge,
+    pdf_parser.py:708-728: gap 50 < mean_h*23), a table caption and a
+    figure + figure caption placed so the 1-NN squared-distance caption
+    assignment (pdf_parser.py:743-780) is unambiguous. The REAL
+    distributed operator (extract_spans → layout_doc → assemble:
+    group_regions → merge_cross_page_tables → assign_captions →
+    construct_table, reference table_structure_recognizer.py:135-587)
+    must reproduce the closed form: one figure span carrying its caption
+    text + blob ref, and one table span whose desc render is three
+    'header：value; …' rows suffixed '\\t—— in “<caption>”' — which
+    bit-checks block typing (all-lowercase corpus → never numeric-major),
+    row/col gap clustering, the >50% header-row rule, span detection
+    (each cell covers exactly its own cluster center → none), header
+    forward-fill, and the english caption suffix in one hash. Relies on
+    every doc having >= 10 words (gate-pinned) and the all-ascii corpus
+    (is_english=True inside construct_table)."""
+    from ragflow_spark.operators.extract import extract_spans
+
+    docs = _docs_scan(spark, sf_dir)
+    words = F.split(F.trim("text"), r"\s+")
+
+    def wd(i: int):  # 1-based single word
+        return F.element_at(words, i)
+
+    def span(off: int, kind: str, text, media_ref):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (F.lit(text) if isinstance(text, str) else text).alias("text"),
+            (
+                F.lit(media_ref) if isinstance(media_ref, str) else media_ref
+            ).alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+
+    def cell(off: int, w: int, kind: str, pn: int, col: int, top: int):
+        x0 = 50 + 200 * col
+        return span(
+            off, kind, wd(w), f"geom://{pn},{x0},{x0 + 150},{top},{top + 12},0"
+        )
+
+    blob = F.concat(
+        F.lit("blob://tb-"),
+        F.col("doc_id").cast("string"),
+        F.lit("/fig0#geom=0,50,550,100,200,1"),
+    )
+    # scrambled input order; offsets follow array position (reading order
+    # must be recovered from geometry alone)
+    spans = F.array(
+        cell(0, 8, "table", 0, 1, 740),                              # r2c2
+        span(1, "figure caption", F.concat(wd(2), F.lit(" chart")),
+             "geom://0,50,550,80,92"),
+        cell(2, 1, "table header", 0, 0, 700),                       # hdr c1
+        cell(3, 10, "table", 1, 0, 10),                              # r3c1 (page 1)
+        span(4, "table caption", F.concat(wd(6), F.lit(" summary")),
+             "geom://0,50,600,690,702"),
+        cell(5, 5, "table", 0, 1, 720),                              # r1c2
+        span(6, "figure", F.lit(""), blob),
+        cell(7, 3, "table header", 0, 2, 700),                       # hdr c3
+        cell(8, 9, "table", 0, 2, 740),                              # r2c3
+        cell(9, 4, "table", 0, 0, 720),                              # r1c1
+        cell(10, 1, "table", 1, 1, 10),                              # r3c2 (page 1)
+        cell(11, 7, "table", 0, 0, 740),                             # r2c1
+        cell(12, 2, "table header", 0, 1, 700),                      # hdr c2
+        cell(13, 6, "table", 0, 2, 720),                             # r1c3
+        cell(14, 2, "table", 1, 2, 10),                              # r3c3 (page 1)
+    )
+    spans_df = docs.select(
+        F.concat(F.lit("tb-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        spans.alias("spans"),
+    )
+    return extract_spans(spans_df).select(
+        "doc_id", "seq", "kind", "text", "media_ref"
+    )
+
+
+def _table_docs_sql() -> str:
+    def line(c1: int, c2: int, c3: int) -> str:
+        cells = " || '; ' || ".join(
+            f"words[{h}] || '：' || words[{c}]"
+            for h, c in ((1, c1), (2, c2), (3, c3))
+        )
+        return (
+            f"{cells} || chr(9) || '—— in “' || words[6] || ' summary”'"
+        )
+
+    body = " || chr(10) || ".join((line(4, 5, 6), line(7, 8, 9), line(10, 1, 2)))
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents)
+SELECT 'tb-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(0 AS INTEGER) AS seq, 'figure' AS kind,
+       words[2] || ' chart' AS text,
+       'blob://tb-' || CAST(doc_id AS VARCHAR)
+         || '/fig0#geom=0,50,550,100,200,1' AS media_ref
+FROM w
+UNION ALL
+SELECT 'tb-' || CAST(doc_id AS VARCHAR),
+       CAST(1 AS INTEGER), 'table',
+       {body},
+       ''
+FROM w
+"""
+
+
+_TABLE_DOCS_SQL = _table_docs_sql()
+
+
 def _q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_inventory(spark, sf_dir)
 
@@ -1760,13 +1833,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction pipeline, driver-oracled (bit-checked vs DuckDB)
         "extract_docs": _q_extract_docs,
         "layout_docs": _q_layout_docs,
+        "table_docs": _q_table_docs,
         "chunk_tag": _q_chunk_tag,
         "chunk_qa": _q_chunk_qa,
         "chunk_naive_docs": _q_chunk_naive_docs,
         "chunk_naive_overlap_docs": _q_chunk_naive_overlap_docs,
         "chunk_hier_docs": _q_chunk_hier_docs,
-        "chunk_book_docs": _q_chunk_book_docs,
-        "chunk_laws_docs": _q_chunk_laws_docs,
+        "chunk_book_laws_docs": _q_chunk_book_laws_docs,
         "chunk_email_docs": _q_chunk_email_docs,
         "chunk_one_docs": _q_chunk_one_docs,
         "chunk_manual_docs": _q_chunk_manual_docs,
@@ -1838,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_docs": _EXTRACT_DOCS_SQL,
         "layout_docs": _LAYOUT_DOCS_SQL,
+        "table_docs": _TABLE_DOCS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "lang_id": text.LANG_ID_SQL,
         "quality_score": text.QUALITY_SQL,
@@ -1862,8 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_naive_docs": _CHUNK_NAIVE_DOCS_SQL,
         "chunk_naive_overlap_docs": _CHUNK_NAIVE_OVERLAP_DOCS_SQL,
         "chunk_hier_docs": _CHUNK_HIER_DOCS_SQL,
-        "chunk_book_docs": _CHUNK_BOOK_DOCS_SQL,
-        "chunk_laws_docs": _CHUNK_LAWS_DOCS_SQL,
+        "chunk_book_laws_docs": _CHUNK_BOOK_LAWS_DOCS_SQL,
         "chunk_email_docs": _CHUNK_EMAIL_DOCS_SQL,
         "chunk_one_docs": _CHUNK_ONE_DOCS_SQL,
         "chunk_manual_docs": _CHUNK_MANUAL_DOCS_SQL,

@@ -26,7 +26,9 @@ SUBSET = [
     # round-3 families: chunker folds, dispatch union, model-fronted doc
     # assembly, tokenizer-backed docs, embedding blend
     "chunk_naive_docs",
-    "chunk_book_docs",
+    "chunk_book_laws_docs",
+    # round-5: table/figure assembly through the real construct_table path
+    "table_docs",
     "chunk_manual_docs",
     "chunk_presentation_docs",
     "chunk_resume",
