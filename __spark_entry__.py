@@ -1819,7 +1819,101 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+_RQ_NQ, _RQ_DEPTH, _RQ_NDOCS = 10, 10, 30
+
+
 def _q_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ndcg@10 / map@5 / mrr@10 (the reference benchmark's exact cutoffs,
+    rag/benchmark.py:242-276) driver-oracled over an INJECTED deterministic
+    (rankings, qrels) pair — 10 queries × depth-10 rankings against graded
+    deep qrels (~13 relevant per query, rels 1..3) from closed modular
+    forms, so the oracle is an independent DuckDB re-derivation of the ranx
+    formulas (Jarvelin gain, AP/n_rel) rather than a replay of the Spark
+    plan. The REAL evaluator (ops/quality.ranking_metrics: window ranks +
+    joins, no Python) runs the Spark side; graded + deep qrels exercise
+    exactly the cases where the r4 scorer diverged from ranx (ADVICE r4).
+    The corpus-scoring variant lives on as retrieval_quality_corpus
+    (rows-only)."""
+    from ragflow_spark.ops.quality import ranking_metrics
+
+    ranked = spark.range(_RQ_NQ * _RQ_DEPTH).select(
+        F.expr(f"id div {_RQ_DEPTH}").alias("qn"),
+        (F.col("id") % _RQ_DEPTH + 1).alias("rank"),
+    ).select(
+        F.concat(F.lit("q"), F.col("qn")).alias("query_id"),
+        "rank",
+        F.concat(
+            F.lit("d"), (F.col("qn") * 7 + F.col("rank") * 3) % _RQ_NDOCS
+        ).alias("doc_id"),
+    )
+    qrels = (
+        spark.range(_RQ_NQ * _RQ_NDOCS)
+        .select(
+            F.expr(f"id div {_RQ_NDOCS}").alias("qn"),
+            (F.col("id") % _RQ_NDOCS).alias("d"),
+        )
+        .select(
+            "qn",
+            "d",
+            F.expr(
+                "CASE (qn + d) % 7 WHEN 0 THEN 3 WHEN 1 THEN 2 "
+                "WHEN 2 THEN 1 ELSE 0 END"
+            ).alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+        .select(
+            F.concat(F.lit("q"), F.col("qn")).alias("query_id"),
+            F.concat(F.lit("d"), F.col("d")).alias("doc_id"),
+            "rel",
+        )
+    )
+    return ranking_metrics(ranked, qrels).orderBy("metric")
+
+
+_RETRIEVAL_QUALITY_SQL = f"""
+WITH qs AS (SELECT unnest(generate_series(0, {_RQ_NQ - 1})) AS qn),
+ranked AS (
+  SELECT qn, r.rank, (qn * 7 + r.rank * 3) % {_RQ_NDOCS} AS d
+  FROM qs, (SELECT unnest(generate_series(1, {_RQ_DEPTH})) AS rank) r),
+qrels AS (
+  SELECT * FROM (
+    SELECT qn, dd.d,
+           CASE (qn + dd.d) % 7 WHEN 0 THEN 3 WHEN 1 THEN 2
+                WHEN 2 THEN 1 ELSE 0 END AS rel
+    FROM qs, (SELECT unnest(generate_series(0, {_RQ_NDOCS - 1})) AS d) dd)
+  WHERE rel > 0),
+hits AS (
+  SELECT r.qn, r.rank, q.rel,
+         row_number() OVER (PARTITION BY r.qn ORDER BY r.rank) AS seq
+  FROM ranked r JOIN qrels q ON r.qn = q.qn AND r.d = q.d),
+perq_hits AS (
+  SELECT qn,
+         sum(CASE WHEN rank <= 10 THEN rel / log2(rank + 1.0) ELSE 0 END) AS dcg,
+         max(CASE WHEN rank <= 10 THEN 1.0 / rank ELSE 0 END) AS rr,
+         sum(CASE WHEN rank <= 5 THEN seq / rank ELSE 0 END) AS prec
+  FROM hits GROUP BY qn),
+ideal AS (
+  SELECT qn, rel,
+         row_number() OVER (PARTITION BY qn ORDER BY rel DESC, d) AS pos
+  FROM qrels),
+perq_ideal AS (
+  SELECT qn,
+         sum(CASE WHEN pos <= 10 THEN rel / log2(pos + 1.0) ELSE 0 END) AS idcg,
+         count(*) AS n_rel
+  FROM ideal GROUP BY qn),
+perq AS (
+  SELECT i.qn,
+         coalesce(h.dcg, 0) / i.idcg AS ndcg,
+         coalesce(h.rr, 0) AS rr,
+         coalesce(h.prec, 0) / i.n_rel AS ap
+  FROM perq_ideal i LEFT JOIN perq_hits h USING (qn))
+SELECT 'ndcg@10' AS metric, round(avg(ndcg), 6) AS value_r6 FROM perq
+UNION ALL SELECT 'map@5', round(avg(ap), 6) FROM perq
+UNION ALL SELECT 'mrr@10', round(avg(rr), 6) FROM perq
+"""
+
+
+def _q_retrieval_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragflow_spark.ops.quality import retrieval_quality
 
     return retrieval_quality(spark, sf_dir)
@@ -1852,11 +1946,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_docs": _q_tokenize_docs,
         "table_rows_to_docs": assembly.table_rows_to_docs,
         "table_html_docs": assembly.table_html_docs,
-        # text analysis (SQL-oracled)
+        # text analysis (SQL-oracled; lang_id + fingerprint share the
+        # text_profile slot since r5)
         "token_stats": text.token_stats,
-        "lang_id": text.lang_id,
+        "text_profile": text.text_profile,
         "quality_score": text.quality_score,
-        "fingerprint": text.fingerprint,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -1888,6 +1982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_inventory": _q_media_inventory,
         "image_features": _q_image_features,
         "frame_sample": _q_frame_sample,
+        # retrieval-quality evaluator over an injected deterministic
+        # (rankings, qrels) pair — closed-form ranx math in DuckDB
+        "retrieval_quality": _q_retrieval_quality,
         # ---- rows-only corpus queries (no oracle; pytest-bit-checked vs
         # extract_doc) — keep BELOW every oracled entry (50-entry window)
         "extract_spans": _q_extract,
@@ -1899,10 +1996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_email": _mk_chunk("email", 128),
         "chunk_presentation": _mk_chunk("presentation", 512),
         "chunk_one": _q_chunk_one,
-        # retrieval-quality harness (rag/benchmark.py:242-276 cutoffs):
-        # rows-only — qrels are corpus-derived (dense top-3), the metric
-        # math is pytest-golden-checked (tests/test_quality.py)
-        "retrieval_quality": _q_retrieval_quality,
+        # corpus-scoring variant of the retrieval-quality harness
+        # (rag/benchmark.py:242-276 cutoffs): rows-only — qrels are
+        # corpus-derived (dense top-3); the evaluator itself is oracled
+        # above via the injected pair
+        "retrieval_quality_corpus": _q_retrieval_quality_corpus,
         "tokenize_cjk": _q_tokenize_cjk,
     }
 
@@ -1913,9 +2011,8 @@ def oracle_sql() -> dict[str, str]:
         "layout_docs": _LAYOUT_DOCS_SQL,
         "table_docs": _TABLE_DOCS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
-        "lang_id": text.LANG_ID_SQL,
+        "text_profile": text.TEXT_PROFILE_SQL,
         "quality_score": text.QUALITY_SQL,
-        "fingerprint": text.FINGERPRINT_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": dedup.MINHASH_LSH_SQL,
@@ -1959,4 +2056,5 @@ def oracle_sql() -> dict[str, str]:
         "media_inventory": multimodal.MEDIA_INVENTORY_SQL,
         "image_features": multimodal.IMAGE_FEATURES_SQL,
         "frame_sample": multimodal.FRAME_SAMPLE_SQL,
+        "retrieval_quality": _RETRIEVAL_QUALITY_SQL,
     }

@@ -177,3 +177,55 @@ FINGERPRINT_SQL = f"""
 SELECT doc_id, source, md5({DUCK_NORM.format(c="text")}) AS fp
 FROM documents
 """
+
+
+# ------------------------------------------------------------- text profile
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_id + fingerprint in ONE scan/window slot (the two queries were
+    separate driver entries through r4; consolidated so the 50-entry oracle
+    window can admit the r5 additions — both operators stay bit-checked by
+    this row). Columns are the union of the two originals."""
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    cjk = F.regexp_count(F.col("text"), F.lit(CJK_CLASS))
+    hits = {k: F.regexp_count(low, F.lit(p)) for k, p in LANG_MARKERS.items()}
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    pred = (
+        F.when(cjk * 20 >= F.length("text"), F.lit("zh"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    fp = F.md5(F.expr(SPARK_NORM.format(c="text")))
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        cjk.cast("int").alias("cjk_chars"),
+        en.cast("int").alias("en_hits"),
+        "source",
+        fp.alias("fp"),
+    )
+
+
+TEXT_PROFILE_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text, source,
+         length(regexp_extract_all(text, '{CJK_CLASS}')) AS cjk,
+         length(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS en,
+         length(regexp_extract_all(lower(text), '{LANG_MARKERS["de"]}')) AS de,
+         length(regexp_extract_all(lower(text), '{LANG_MARKERS["fr"]}')) AS fr,
+         length(regexp_extract_all(lower(text), '{LANG_MARKERS["es"]}')) AS es
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN cjk * 20 >= length(text) THEN 'zh'
+            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       CAST(cjk AS INTEGER) AS cjk_chars,
+       CAST(en AS INTEGER) AS en_hits,
+       source,
+       md5({DUCK_NORM.format(c="text")}) AS fp
+FROM f
+"""

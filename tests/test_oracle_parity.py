@@ -16,7 +16,8 @@ SF_DIR = "/root/testdata/sf0.001"
 SUBSET = [
     "token_stats",
     "quality_score",
-    "fingerprint",
+    "text_profile",
+    "retrieval_quality",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "embedding_neardup",
