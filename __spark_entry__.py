@@ -1120,6 +1120,37 @@ from ragflow_spark.functions.trie_tokenizer import (  # noqa: E402
     EN_NORM_DUCK_SQL as _ENN,
 )
 
+# full→half width (rag_tokenizer.py:101-114) as a 1:1 translate map, then
+# lowercase — the two tokenize() line normalizations the per-word ENN
+# mirror used to skip. Skipping was sound only while the generated corpus
+# stayed all-lowercase ascii (the standing five-oracle trap from CLAUDE.md,
+# removed r5); tests/test_ltks_oracle_robustness.py proves the oracles now
+# survive an uppercase/full-width corpus profile. U+3000 full-width space
+# stays out of scope: corpus profiles separate words with ASCII whitespace
+# (RE2 '\\s' is ascii-only, so a full-width space would split differently
+# on the two sides by construction).
+_FW2HW_FROM = "".join(chr(0xFF01 + i) for i in range(94))
+_FW2HW_TO = "".join(chr(0x21 + i) for i in range(94)).replace("'", "''")
+
+
+def _fold_sql(c: str) -> str:
+    return (
+        "lower(translate(" + c + ", '" + _FW2HW_FROM + "', '"
+        + _FW2HW_TO + "'))"
+    )
+
+
+# rm_space mirror (kernels/media_docs.rm_space, rag/utils/__init__.py:37-39):
+# collapse a space whose neighbour is non-alphanumeric-ascii. A no-op on the
+# all-lowercase corpus; live for full-width words in the mixed profile.
+def _rm_space_sql(c: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(" + c
+        + ", '(?i)([^a-z0-9.,\\)>]) +([^ ])', '\\1\\2', 'g')"
+        + ", '(?i)([^ ]) +([^a-z0-9.,\\(<])', '\\1\\2', 'g')"
+    )
+
+
 _TOKENIZE_DOCS_SQL = f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
@@ -1131,7 +1162,7 @@ suf AS (
   FROM w, (SELECT unnest(generate_series(1, 400)) AS i) g
   WHERE g.i <= len(words)),
 norm1 AS (
-  SELECT doc_id, i, sw, {_ENN.format(c="sw")} AS t1 FROM suf),
+  SELECT doc_id, i, sw, {_ENN.format(c=_fold_sql("sw"))} AS t1 FROM suf),
 norm2 AS (
   SELECT doc_id, i, sw, t1, {_ENN.format(c="t1")} AS t2 FROM norm1)
 SELECT 'tk-' || CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1225,11 +1256,11 @@ def _q_chunk_picture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ENN_W = _ENN.format(c="w")
-_ENN_WW = _ENN.format(c=_ENN_W)
+_ENN_W = _ENN.format(c=_fold_sql("w"))
+_ENN_WW = _ENN.format(c=_ENN_W)  # 2nd ENN pass sees folded output — no refold
 
 
-# tokenize == per-word en_normalize for pure-\w english text; the second
+# tokenize == fold + per-word en_normalize for pure-\w text; the second
 # pass is the fine-grained english route (no '/' in this corpus).
 # Plain concatenation — the expanded ENN contains regex {2,} braces that
 # str.format would mangle.
@@ -1410,9 +1441,11 @@ fields AS (
          '138' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS phone,
          (CASE WHEN len(w) > 3 THEN w[4] ELSE 'user' END)
            || '@example.com' AS email,
-         coalesce(array_to_string(w[2:3], ' '), '') AS position,
+         {_rm_space_sql("coalesce(array_to_string(w[2:3], ' '), '')")}
+           AS position,
          CAST(doc_id % 20 AS DOUBLE) + 0.5 AS work_exp,
-         coalesce(array_to_string(w[5:6], ' '), '') AS corp,
+         {_rm_space_sql("coalesce(array_to_string(w[5:6], ' '), '')")}
+           AS corp,
          CASE WHEN len(w) > 6 THEN w[7] ELSE 'school' END AS school,
          (['本科', '硕士', '博士', '专科'])[(doc_id % 4) + 1] AS degree
   FROM base)
