@@ -638,6 +638,11 @@ FROM (SELECT * FROM terms UNION ALL SELECT * FROM phrases
 """
 
 
+from ragflow_spark.ops.similarity import (  # noqa: E402
+    QUERY_BATCH_MAX as _QBMAX,
+)
+
+
 def _tokvec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, toks, v): distinct lowercase tokens + L2-normalized vector
     per document (documents ⋈ embeddings on id)."""
@@ -701,11 +706,18 @@ def _query_side(
     reference caps retrieval at topk≤1024, rag/nlp/search.py:355-381) —
     broadcasting it is safe because it is a query batch, never a corpus
     fraction. ``queries`` is (doc_id) keys joined against the corpus; the
-    query_mod default exists only for the driver's deterministic harness."""
+    default batch is stride-query_mod ids capped below
+    query_mod·QUERY_BATCH_MAX — fixed size at any corpus scale, so the
+    executed default honors the same bounded contract."""
+    from ragflow_spark.ops.similarity import QUERY_BATCH_MAX
+
     src = (
         corpus.join(F.broadcast(queries.select("doc_id")), "doc_id")
         if queries is not None
-        else corpus.where(F.col("doc_id") % query_mod == 0)
+        else corpus.where(
+            (F.col("doc_id") % query_mod == 0)
+            & (F.col("doc_id") < query_mod * QUERY_BATCH_MAX)
+        )
     )
     return src.select(
         F.col("doc_id").alias("query_id"),
@@ -760,7 +772,8 @@ corpus AS (
   SELECT doc_id, toks, v FROM toks JOIN vecs ON doc_id = vec_id),
 q AS (
   SELECT doc_id AS query_id, toks AS qtoks, v AS qv
-  FROM corpus WHERE doc_id % {QUERY_MOD} = 0),
+  FROM corpus WHERE doc_id % {QUERY_MOD} = 0
+    AND doc_id < {QUERY_MOD * _QBMAX}),
 scored AS (
   SELECT q.query_id, c.doc_id,
          round(0.3 * (len(list_intersect(q.qtoks, c.toks)) * 1.0 / len(q.qtoks))
@@ -830,7 +843,8 @@ corpus AS (
   SELECT doc_id, toks, v FROM toks JOIN vecs ON doc_id = vec_id),
 q AS (
   SELECT doc_id AS query_id, toks AS qtoks, v AS qv
-  FROM corpus WHERE doc_id % {QUERY_MOD} = 0),
+  FROM corpus WHERE doc_id % {QUERY_MOD} = 0
+    AND doc_id < {QUERY_MOD * _QBMAX}),
 scored AS (
   SELECT q.query_id, c.doc_id,
          round(0.05 * (len(list_intersect(q.qtoks, c.toks)) * 1.0 / len(q.qtoks))
