@@ -64,10 +64,18 @@ def strip_stage(exploded: DataFrame, repartition: int | None = None) -> DataFram
     """Format parsing (html/md/txt/json) as an Arrow-batched map. Salted
     repartition spreads giant docs; the map itself is stateless."""
     df = exploded
-    if repartition:
-        df = df.repartition(repartition, "doc_id", "salt")
-    else:
-        df = df.repartition("doc_id", "salt")
+    # explicit numPartitions: a bare repartition(cols) is AQE-coalescible,
+    # and a giant doc's spans are SMALL by bytes (AQE's only yardstick)
+    # while huge by kernel CPU — AQE folded the salted shuffle back into
+    # one partition, silently re-serializing the exact straggler this
+    # stage exists to spread (measured: skew bench straggler cut 1.0x
+    # before, 5.8x after on 8 cores; the CLAUDE.md tiny-task-list
+    # invariant, now on the giant-doc path). User-specified counts are
+    # exempt from AQE.
+    if not repartition:
+        par = exploded.sparkSession.sparkContext.defaultParallelism
+        repartition = par * 4
+    df = df.repartition(repartition, "doc_id", "salt")
 
     def run(batches):
         for pdf in batches:
@@ -85,11 +93,42 @@ def strip_stage(exploded: DataFrame, repartition: int | None = None) -> DataFram
     return df.mapInPandas(run, schema=STRIPPED_SCHEMA)
 
 
+def _finalize_plain_vectorized(pdf: pd.DataFrame) -> pd.DataFrame:
+    """finalize_doc's plain branch (no geometry rows anywhere in the doc)
+    as vectorized pandas — bit-equal to the kernel (tests assert it; the
+    CLAUDE invariant for new physical paths). This is the giant-doc salted
+    path's serial floor: the per-doc finalize is one task by contract, so
+    a 10^5-span doc paid a python dict-loop sort here (~7 s at 150k rows,
+    scripts/skew_bench.py) where a column sort + masks cost ~0.1 s."""
+    pdf = pdf.sort_values(["offset", "sub"], kind="stable")
+    kind = pdf["kind"].fillna("")
+    text = pdf["text"].fillna("")
+    mr = pdf["media_ref"].fillna("")
+    keep = ~kind.isin(("header", "footer", "reference"))
+    keep &= (text.str.strip() != "") | (mr != "")
+    kind = kind[keep]
+    out_kind = kind.where(
+        kind.isin(("title", "figure")),
+        kind.map(lambda k: "table" if k in ("table", "table header") else "text"),
+    )
+    return pd.DataFrame(
+        {
+            "seq": range(int(keep.sum())),
+            "kind": out_kind.to_numpy(),
+            "text": text[keep].to_numpy(),
+            "media_ref": mr[keep].to_numpy(),
+        }
+    )
+
+
 def finalize_stage(
     stripped: DataFrame, html_tables: bool = False, capture_errors: bool = False
 ) -> DataFrame:
     """Doc-level layout/assembly/emit: one shuffle on doc_id, then the
-    numpy kernel per document.
+    numpy kernel per document. Docs with NO geometry rows (the common
+    shape on the giant-doc tail: huge plain-span documents) take a
+    vectorized pandas fast path instead of the per-row python kernel —
+    same output by construction and by test.
 
     capture_errors: a doc whose kernel raises emits a single
     ``kind='__error__'`` marker row (text = exception repr) instead of
@@ -98,8 +137,19 @@ def finalize_stage(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_id = pdf["doc_id"].iloc[0]
-        rows = pdf[["kind", "text", "media_ref", "offset", "sub"]].to_dict("records")
         try:
+            mr = pdf["media_ref"].fillna("")
+            has_geom = (
+                mr.str.startswith("geom://")
+                | mr.str.contains("#geom=", regex=False)
+            ).any()
+            if not has_geom:
+                out_pdf = _finalize_plain_vectorized(pdf)
+                out_pdf.insert(0, "doc_id", doc_id)
+                return out_pdf
+            rows = pdf[["kind", "text", "media_ref", "offset", "sub"]].to_dict(
+                "records"
+            )
             out = finalize_doc(rows, html_tables=html_tables)
         except Exception as e:  # noqa: BLE001 — per-doc isolation
             if not capture_errors:

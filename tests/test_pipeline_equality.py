@@ -145,3 +145,36 @@ def test_md_embedded_html_table_fixture(spark):
     assert kinds_texts.index(("table", cell)) < kinds_texts.index(
         ("text", "middle text line")
     )
+
+
+def test_vectorized_plain_finalize_equals_kernel(spark):
+    """The no-geometry vectorized finalize fast path (r5,
+    operators/extract._finalize_plain_vectorized) must equal finalize_doc
+    on its edge rows: garbage kinds, empty/None texts, plain blob refs,
+    table-header kind mapping, out-of-order offsets."""
+    spans = [
+        {"kind": "text", "text": "last", "media_ref": "", "offset": 5},
+        {"kind": "header", "text": "running head", "media_ref": "", "offset": 0},
+        {"kind": "title", "text": "Title", "media_ref": "", "offset": 1},
+        {"kind": "text", "text": None, "media_ref": "", "offset": 2},
+        {"kind": "figure", "text": "", "media_ref": "blob://d/0", "offset": 3},
+        {"kind": "table header", "text": "h1", "media_ref": "", "offset": 4},
+        {"kind": "footer", "text": "page", "media_ref": "", "offset": 6},
+        {"kind": "text", "text": "  ", "media_ref": "", "offset": 7},
+        {"kind": "reference", "text": "refs", "media_ref": "", "offset": 8},
+    ]
+    docs = spark.createDataFrame(
+        [("d0", [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                 for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    # giant_threshold=0 forces explode → strip → finalize_stage (the stage
+    # holding the vectorized path; this doc has no geometry rows)
+    got = collect_spans(extract_spans(docs, giant_threshold=0))["d0"]
+    exp = [
+        (o["seq"], o["kind"], o["text"], o["media_ref"])
+        for o in extract_doc(spans)
+    ]
+    assert got == exp
+    assert [k for _, k, _, _ in got] == ["title", "figure", "table", "text"]
