@@ -245,3 +245,18 @@ def test_stream_windowed_counts_watermark(spark, tmp_path_factory):
         (r["window"]["start"], r["event_type"]): (r["n"], r["vc"]) for r in batch
     }
     assert got == want and len(got) > 0
+
+
+def test_extract_stream_driver_query_all_equal(spark):
+    """The rows-only driver query must show stream ≡ batch on every chunk
+    (and be stable across re-invocations — checkpoint no-op)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["extract_stream"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    assert all(r["text_eq"] and r["tokens_eq"] and r["refs_eq"] for r in rows)
+    again = entrymod.queries()["extract_stream"](
+        spark, "/root/testdata/sf0.001"
+    ).count()
+    assert again == len(rows)
