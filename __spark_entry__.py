@@ -1180,6 +1180,10 @@ _CJK_VOCAB = [
     "中华人民共和国", "分布式系统", "机器学习", "数据库", "中国科学院",
     "主要内容", "表格识别", "文档处理", "大规模计算", "页面布局",
 ]
+# traditional-form compounds (r5): must fold via TRAD2SIMP and then hit
+# the simplified-form trie entries (中華人民共和國→中华人民共和国,
+# 機器學習→机器学习, 數據庫→数据库)
+_CJK_TRAD = ["中華人民共和國", "機器學習", "數據庫"]
 
 
 def _q_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1187,20 +1191,25 @@ def _q_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     trie_tokenizer.py FW+BW max-match + scored DFS; reference
     rag_tokenizer.py:89-180): each documents row becomes a deterministic
     compound-CJK sentence (three vocab compounds picked by doc_id, a
-    full-width comma, one ascii word) run through with_ltks. Rows-only —
+    full-width comma, a TRADITIONAL-form compound that must fold through
+    TRAD2SIMP into the simplified trie entries — r5, rag_tokenizer.py:116
+    tradi2simp — and one ascii word) run through with_ltks. Rows-only —
     the segmentation is the DFS itself, not SQL-expressible; pytest pins
     Spark ≡ per-doc kernel tokenize() on the same construction."""
     from ragflow_spark.operators.extract import with_ltks
 
     docs = _docs_scan(spark, sf_dir)
     vocab = F.array(*[F.lit(w) for w in _CJK_VOCAB])
+    trad = F.array(*[F.lit(w) for w in _CJK_TRAD])
     n = len(_CJK_VOCAB)
     pick = lambda off: F.element_at(  # noqa: E731
         vocab, ((F.col("doc_id") + off) % n).cast("int") + 1
     )
     first_word = F.element_at(F.split(F.trim("text"), r"\s+"), 1)
     cjk = F.concat(
-        pick(0), pick(3), F.lit("，"), pick(7), F.lit(" "), first_word
+        pick(0), pick(3), F.lit("，"), pick(7), F.lit(" "),
+        F.element_at(trad, (F.col("doc_id") % len(_CJK_TRAD)).cast("int") + 1),
+        F.lit(" "), first_word,
     )
     base = docs.select(
         F.concat(F.lit("cj-"), F.col("doc_id").cast("string")).alias("doc_id"),

@@ -17,8 +17,10 @@ Deliberate deviations (documented):
 
 - The dictionary is a small vendored table (simplified-form CJK words with
   self-assigned log-scale frequencies + POS tags) instead of the
-  reference's ~500k-entry huqie.txt; traditional→simplified conversion is
-  therefore a no-op. Callers can extend the dictionary at runtime.
+  reference's ~500k-entry huqie.txt; callers can extend the dictionary at
+  runtime. Traditional→simplified folding uses a vendored common-character
+  subset (TRAD2SIMP) of the published conversion table, extensible via
+  add_trad_simp().
 - English normalization is a deterministic 4-rule suffix stemmer (ies→y,
   ing-, ed-, plural-s) instead of NLTK WordNet+Porter — NLTK isn't a
   dependency; the rules are shared verbatim with the DuckDB oracle
@@ -176,6 +178,10 @@ class TrieTokenizer:
     def tokenize(self, line: str) -> str:
         line = re.sub(r"\W+", " ", line, flags=re.UNICODE)
         line = full_to_half(line).lower()
+        if not line.isascii():
+            # traditional→simplified fold (rag_tokenizer.py:116) so
+            # traditional-form text hits the simplified-form dictionary
+            line = line.translate(_T2S_TABLE)
         res: list[str] = []
         for run, zh in split_by_lang(line):
             if not zh:
@@ -258,6 +264,59 @@ def _offsets(tks: list[str]) -> list[int]:
 
 def is_cjk_char(ch: str) -> bool:
     return "一" <= ch <= "鿿"
+
+
+# traditional→simplified fold (rag_tokenizer.py:116 tradi2simp — the
+# reference uses the hanziconv table; the character correspondences are
+# public knowledge). Vendored common subset covering the test vocabulary
+# plus frequent characters; extensible via add_trad_simp(). One-to-one
+# char map → str.translate (no per-char python loop).
+TRAD2SIMP: dict[str, str] = {
+    "國": "国", "學": "学", "會": "会", "書": "书", "愛": "爱",
+    "馬": "马", "鳥": "鸟", "龍": "龙", "東": "东", "車": "车",
+    "門": "门", "開": "开", "關": "关", "長": "长", "風": "风",
+    "雲": "云", "電": "电", "語": "语", "話": "话", "讀": "读",
+    "寫": "写", "聽": "听", "說": "说", "謝": "谢", "請": "请",
+    "問": "问", "間": "间", "時": "时", "鐘": "钟", "錢": "钱",
+    "銀": "银", "鐵": "铁", "飛": "飞", "機": "机", "歡": "欢",
+    "樂": "乐", "醫": "医", "藥": "药", "頭": "头", "體": "体",
+    "聲": "声", "覺": "觉", "夢": "梦", "廣": "广", "場": "场",
+    "買": "买", "賣": "卖", "貝": "贝", "見": "见", "視": "视",
+    "親": "亲", "觀": "观", "紅": "红", "綠": "绿", "藍": "蓝",
+    "黃": "黄", "點": "点", "線": "线", "網": "网", "頁": "页",
+    "數": "数", "據": "据", "庫": "库", "計": "计", "統": "统",
+    "單": "单", "雙": "双", "幾": "几", "萬": "万", "億": "亿",
+    "兩": "两", "為": "为", "爲": "为", "這": "这", "邊": "边",
+    "過": "过", "還": "还", "進": "进", "運": "运", "動": "动",
+    "務": "务", "業": "业", "產": "产", "鄉": "乡", "縣": "县",
+    "區": "区", "島": "岛", "華": "华", "漢": "汉", "簡": "简",
+    "譯": "译", "識": "识", "記": "记", "憶": "忆", "藝": "艺",
+    "術": "术", "師": "师", "員": "员", "隊": "队", "級": "级",
+    "類": "类", "總": "总", "結": "结", "構": "构", "圖": "图",
+    "報": "报", "紙": "纸", "筆": "笔", "畫": "画", "對": "对",
+    "錯": "错", "讓": "让", "從": "从", "們": "们", "來": "来",
+    "個": "个", "麼": "么", "沒": "没", "陽": "阳", "陰": "阴",
+    "濕": "湿", "熱": "热", "氣": "气", "壓": "压", "優": "优",
+    "質": "质", "價": "价", "標": "标", "測": "测", "試": "试",
+    "驗": "验", "證": "证", "確": "确", "認": "认", "設": "设",
+    "備": "备", "傳": "传", "輸": "输", "處": "处", "節": "节",
+    "約": "约", "號": "号", "碼": "码", "習": "习", "規": "规",
+    "選": "选", "頻": "频", "積": "积", "極": "极", "離": "离",
+    "雜": "杂", "純": "纯", "維": "维", "張": "张", "發": "发",
+}
+_T2S_TABLE = str.maketrans(TRAD2SIMP)
+
+
+def trad_to_simp(s: str) -> str:
+    return s.translate(_T2S_TABLE)
+
+
+def add_trad_simp(pairs: dict[str, str]) -> None:
+    """Extend the fold at runtime (full-scale deployments load the
+    complete published table)."""
+    TRAD2SIMP.update(pairs)
+    global _T2S_TABLE
+    _T2S_TABLE = str.maketrans(TRAD2SIMP)
 
 
 def full_to_half(s: str) -> str:

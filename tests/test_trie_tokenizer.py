@@ -206,11 +206,14 @@ def test_tokenize_cjk_driver_query_equals_kernel(spark):
     assert len(out) == len(rows) > 0
     n = len(entrymod._CJK_VOCAB)
     v = entrymod._CJK_VOCAB
+    t = entrymod._CJK_TRAD
     checked_multi = 0
+    folded_hits = 0
     for doc_id, text in rows:
         built = (
             v[doc_id % n] + v[(doc_id + 3) % n] + "，"
-            + v[(doc_id + 7) % n] + " " + text.split()[0]
+            + v[(doc_id + 7) % n] + " " + t[doc_id % len(t)]
+            + " " + text.split()[0]
         )
         got_text, got_ltks, got_sm = out[f"cj-{doc_id}"]
         assert got_text == built
@@ -218,7 +221,15 @@ def test_tokenize_cjk_driver_query_equals_kernel(spark):
         assert got_sm == fine_grained_tokenize(tokenize(built))
         if len(got_ltks.split()) > 4:
             checked_multi += 1
+        # the traditional compound must fold into its simplified dict
+        # entry (中華人民共和國 → the single token 中华人民共和国, etc.)
+        if any(
+            tok in ("中华人民共和国", "机器学习", "数据库")
+            for tok in got_ltks.split()
+        ):
+            folded_hits += 1
     assert checked_multi > 0  # compounds actually segmented into pieces
+    assert folded_hits == len(rows)  # every trad form folded + matched
 
 
 def test_load_dict_file_bad_lines(tmp_path):
@@ -237,3 +248,20 @@ def test_load_dict_file_bad_lines(tmp_path):
     bad.write_text("alpha 10 n\nbeta oops n\n")
     with pytest.raises(ValueError, match=r"bad\.txt:2: non-numeric"):
         load_dict_file(str(bad))
+
+
+def test_trad_to_simp_fold():
+    """Traditional-form input tokenizes identically to its simplified
+    form (rag_tokenizer.py:116 tradi2simp analog, vendored subset)."""
+    from ragflow_spark.functions.trie_tokenizer import (
+        add_trad_simp,
+        tokenize,
+        trad_to_simp,
+    )
+
+    assert trad_to_simp("中華人民共和國") == "中华人民共和国"
+    assert tokenize("中華人民共和國") == tokenize("中华人民共和国")
+    assert tokenize("機器學習和數據庫") == tokenize("机器学习和数据库")
+    # runtime extension hook
+    add_trad_simp({"㊣": "正"})
+    assert trad_to_simp("㊣") == "正"
