@@ -1118,7 +1118,16 @@ def _q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ragflow_spark.functions.trie_tokenizer import (  # noqa: E402
     EN_NORM_DUCK_SQL as _ENN,
+    IRR_DUCK_SQL as _IRR,
 )
+
+
+def _irr(c: str) -> str:
+    """Irregular-plural lemma fold — EN_NORM_DUCK_SQL expects its input
+    already folded (the split keeps expression size linear; see
+    trie_tokenizer.py). Applied on BOTH normalization passes, mirroring
+    en_normalize's map lookup."""
+    return _IRR.format(c=c)
 
 # full→half width (rag_tokenizer.py:101-114) as a 1:1 translate map, then
 # lowercase — the two tokenize() line normalizations the per-word ENN
@@ -1161,10 +1170,12 @@ suf AS (
            AS sw
   FROM w, (SELECT unnest(generate_series(1, 400)) AS i) g
   WHERE g.i <= len(words)),
+norm0 AS (
+  SELECT doc_id, i, sw, {_fold_sql("sw")} AS fw FROM suf),
 norm1 AS (
-  SELECT doc_id, i, sw, {_ENN.format(c=_fold_sql("sw"))} AS t1 FROM suf),
+  SELECT doc_id, i, sw, {_ENN.format(c=_irr("fw"))} AS t1 FROM norm0),
 norm2 AS (
-  SELECT doc_id, i, sw, t1, {_ENN.format(c="t1")} AS t2 FROM norm1)
+  SELECT doc_id, i, sw, t1, {_ENN.format(c=_irr("t1"))} AS t2 FROM norm1)
 SELECT 'tk-' || CAST(doc_id AS VARCHAR) AS doc_id,
        string_agg(sw, ' ' ORDER BY i) AS text,
        string_agg(t1, ' ' ORDER BY i) AS content_ltks,
@@ -1265,25 +1276,32 @@ def _q_chunk_picture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ENN_W = _ENN.format(c=_fold_sql("w"))
-_ENN_WW = _ENN.format(c=_ENN_W)  # 2nd ENN pass sees folded output — no refold
-
-
 # tokenize == fold + per-word en_normalize for pure-\w text; the second
 # pass is the fine-grained english route (no '/' in this corpus).
+# Composition is CHAINED list_transform passes, one small lambda each —
+# substituting the fold/ENN expressions into each other's {c} slots
+# multiplies their sizes (the nested form reached 765 KB of SQL per
+# column and stalled DuckDB's planner); the chained form stays ~3 KB.
 # Plain concatenation — the expanded ENN contains regex {2,} braces that
 # str.format would mangle.
+_FOLD_LAMBDA = "w -> " + _fold_sql("w")
+_ENN_LAMBDA = "w -> " + _ENN.format(c=_irr("w"))
+
+
 def _ltks_sql(col: str) -> str:
     return (
-        "array_to_string(list_transform(regexp_split_to_array("
-        + col + ", '\\s+'), w -> " + _ENN_W + "), ' ')"
+        "array_to_string(list_transform(list_transform("
+        "regexp_split_to_array(" + col + ", '\\s+'), "
+        + _FOLD_LAMBDA + "), " + _ENN_LAMBDA + "), ' ')"
     )
 
 
 def _sm_ltks_sql(col: str) -> str:
     return (
-        "array_to_string(list_transform(regexp_split_to_array("
-        + col + ", '\\s+'), w -> " + _ENN_WW + "), ' ')"
+        "array_to_string(list_transform(list_transform(list_transform("
+        "regexp_split_to_array(" + col + ", '\\s+'), "
+        + _FOLD_LAMBDA + "), " + _ENN_LAMBDA + "), "
+        + _ENN_LAMBDA + "), ' ')"
     )
 
 _CHUNK_PICTURE_SQL = f"""

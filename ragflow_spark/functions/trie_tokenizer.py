@@ -359,13 +359,36 @@ def split_by_lang(line: str) -> list[tuple[str, bool]]:
 
 
 # lightweight english lemmatize+stem stand-in; rules mirrored bit-for-bit
-# by EN_NORM_DUCK_SQL (first matching rule wins)
+# by EN_NORM_DUCK_SQL (first matching rule wins). r5 fidelity pass toward
+# the reference's stem(lemmatize(t)) chain (rag_tokenizer.py:296,331):
+# - irregular-plural lemma table (the WordNetLemmatizer behavior on the
+#   common irregulars — after the fold, Porter leaves these words intact,
+#   so the mapped form IS the reference output for this set)
+# - post-ing/ed consonant undoubling (Porter step-1b cleanup: running→run,
+#   fitted→fit; l/s/z never undouble: falling→fall, pressed→press)
+# - sibilant -es plurals (boxes→box, churches→church, glasses→glass —
+#   WordNet lemmatizes these; the old [^s]s rule produced boxe/glasse)
+# Remaining documented divergences from NLTK: no Porter e-deletion or
+# suffix chains (table stays table, not tabl; relational stays
+# relational, not relat), no verb-frame lemmatization (ran stays ran),
+# irregulars beyond the vendored table.
+_IRREGULAR_LEMMAS = {
+    "mice": "mouse", "feet": "foot", "teeth": "tooth", "geese": "goose",
+    "children": "child", "men": "man", "women": "woman", "wives": "wife",
+    "knives": "knife", "leaves": "leaf", "lives": "life", "halves": "half",
+    "shelves": "shelf", "indices": "index", "matrices": "matrix",
+    "vertices": "vertex", "criteria": "criterion",
+    "phenomena": "phenomenon", "data": "datum",
+}
+
 _EN_RULES = [
-    (re.compile(r"^(.{2,})ies$"), r"\1y"),
-    (re.compile(r"^(.{3,})ing$"), r"\1"),
-    (re.compile(r"^(.{3,})ed$"), r"\1"),
-    (re.compile(r"^(.{3,}[^s])s$"), r"\1"),
+    (re.compile(r"^(.{2,})ies$"), r"\1y", False),
+    (re.compile(r"^(.{2,}(?:ch|sh|ss|x|z))es$"), r"\1", False),
+    (re.compile(r"^(.{3,})ing$"), r"\1", True),
+    (re.compile(r"^(.{3,})ed$"), r"\1", True),
+    (re.compile(r"^(.{3,}[^s])s$"), r"\1", False),
 ]
+_DOUBLED = re.compile(r"([bcdfghjkmnpqrtvwxy])\1$")
 
 
 from functools import lru_cache
@@ -375,23 +398,55 @@ from functools import lru_cache
 def en_normalize(t: str) -> str:
     if not re.match(r"[a-zA-Z_-]+$", t):
         return t
-    for pat, rep in _EN_RULES:
-        m = pat.match(t)
-        if m:
-            return pat.sub(rep, t)
+    t = _IRREGULAR_LEMMAS.get(t, t)
+    for pat, rep, undouble in _EN_RULES:
+        if pat.match(t):
+            t = pat.sub(rep, t)
+            if undouble:
+                t = _DOUBLED.sub(r"\1", t)
+            return t
     return t
 
 
-# DuckDB mirror of en_normalize for oracle SQL; {c} is the token column.
+# DuckDB mirrors for oracle SQL; {c} is the token column. Composition:
+# EN_NORM_DUCK_SQL expects its input ALREADY irregular-folded — callers
+# wrap the column with IRR_DUCK_SQL first (splitting the two keeps the
+# expanded expression size linear in the template, since {c} appears ~17
+# times here and only twice in the irregular fold). RE2 has no
+# backreferences, so the undouble is a doubled-pair alternation test +
+# left() instead of ([x])\1.
+IRR_DUCK_SQL = (
+    "(CASE {c} "
+    + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _IRREGULAR_LEMMAS.items()
+    )
+    + " ELSE {c} END)"
+)
+
+_DOUBLED_DUCK = (
+    "(bb|cc|dd|ff|gg|hh|jj|kk|mm|nn|pp|qq|rr|tt|vv|ww|xx|yy)$"
+)
+
+
+def _undouble_duck(expr: str) -> str:
+    return (
+        "(CASE WHEN regexp_matches(" + expr + ", '" + _DOUBLED_DUCK + "') "
+        "THEN left(" + expr + ", length(" + expr + ") - 1) "
+        "ELSE " + expr + " END)"
+    )
+
+
 EN_NORM_DUCK_SQL = (
     "(CASE WHEN NOT regexp_matches({c}, '^[a-zA-Z_-]+$') THEN {c} "
     "WHEN regexp_matches({c}, '^.{{2,}}ies$') "
     "THEN regexp_replace({c}, '^(.{{2,}})ies$', '\\1y') "
+    "WHEN regexp_matches({c}, '^.{{2,}}(ch|sh|ss|x|z)es$') "
+    "THEN regexp_replace({c}, '^(.{{2,}}(ch|sh|ss|x|z))es$', '\\1') "
     "WHEN regexp_matches({c}, '^.{{3,}}ing$') "
-    "THEN regexp_replace({c}, '^(.{{3,}})ing$', '\\1') "
-    "WHEN regexp_matches({c}, '^.{{3,}}ed$') "
-    "THEN regexp_replace({c}, '^(.{{3,}})ed$', '\\1') "
-    "WHEN regexp_matches({c}, '^.{{3,}}[^s]s$') "
+    "THEN " + _undouble_duck("regexp_replace({c}, '^(.{{3,}})ing$', '\\1')")
+    + " WHEN regexp_matches({c}, '^.{{3,}}ed$') "
+    "THEN " + _undouble_duck("regexp_replace({c}, '^(.{{3,}})ed$', '\\1')")
+    + " WHEN regexp_matches({c}, '^.{{3,}}[^s]s$') "
     "THEN regexp_replace({c}, '^(.{{3,}}[^s])s$', '\\1') "
     "ELSE {c} END)"
 )

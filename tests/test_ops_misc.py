@@ -168,7 +168,7 @@ def test_assemble_es_docs_fields(spark):
     assert r["docnm_kwd"] == "notes_1.txt"
     assert r["title_tks"] == "notes_1"
     # en_normalize fires in content tokens
-    assert rows[("d1", 0)]["content_ltks"] == "runn cats here"
+    assert rows[("d1", 0)]["content_ltks"] == "run cats here"
     # table tags stripped before tokenization; digit-ext title quirk
     r2 = rows[("d2", 0)]
     assert r2["content_ltks"].strip() == "x cell"

@@ -265,3 +265,53 @@ def test_trad_to_simp_fold():
     # runtime extension hook
     add_trad_simp({"㊣": "正"})
     assert trad_to_simp("㊣") == "正"
+
+
+def test_en_normalize_fidelity_goldens():
+    """Recorded word→normal-form table for the r5 stemmer fidelity pass
+    (reference chain: PorterStemmer().stem(WordNetLemmatizer()
+    .lemmatize(t)), rag_tokenizer.py:296). Rows marked `exact` reproduce
+    the reference output bit-for-bit; the rest are the documented
+    deviation (no Porter e-deletion / suffix chains — readable stems).
+    The DuckDB mirror must agree on every row (second loop)."""
+    import duckdb
+
+    from ragflow_spark.functions.trie_tokenizer import (
+        EN_NORM_DUCK_SQL,
+        IRR_DUCK_SQL,
+        en_normalize,
+    )
+
+    golden = {
+        # irregular plurals (exact: Porter leaves the lemma intact)
+        "mice": "mouse", "children": "child", "feet": "foot",
+        "teeth": "tooth", "women": "woman", "men": "man",
+        "leaves": "leaf", "lives": "life", "indices": "index",
+        "matrices": "matrix", "criteria": "criterion", "data": "datum",
+        # post-ing/ed undoubling (exact: Porter step-1b cleanup)
+        "running": "run", "stopped": "stop", "fitted": "fit",
+        "planning": "plan", "dropped": "drop",
+        # l/s/z never undouble (exact)
+        "falling": "fall", "pressed": "press", "buzzing": "buzz",
+        "rolling": "roll", "missed": "miss",
+        # sibilant -es plurals (exact)
+        "boxes": "box", "churches": "church", "glasses": "glass",
+        "hashes": "hash", "classes": "class",
+        # pre-existing rules (documented deviations from Porter where the
+        # reference would e-delete or re-suffix: tabl, queri, studi …)
+        "queries": "query", "studies": "study", "tables": "table",
+        "sorted": "sort", "sorting": "sort", "windowed": "window",
+        "merging": "merg", "cats": "cats", "as": "as", "glass": "glass",
+        "ran": "ran", "被": "被",
+    }
+    for w, exp in golden.items():
+        assert en_normalize(w) == exp, (w, en_normalize(w), exp)
+
+    expr = EN_NORM_DUCK_SQL.format(c=IRR_DUCK_SQL.format(c="w"))
+    vals = ", ".join(
+        "('{}')".format(w) for w in golden if w.isascii()
+    )
+    for w, got in duckdb.sql(
+        f"SELECT w, {expr} AS n FROM (VALUES {vals}) t(w)"
+    ).fetchall():
+        assert got == golden[w], (w, got, golden[w])
