@@ -1765,16 +1765,28 @@ def _q_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     group_regions → merge_cross_page_tables → assign_captions →
     construct_table, reference table_structure_recognizer.py:135-587)
     must reproduce the closed form: one figure span carrying its caption
-    text + blob ref, and one table span whose desc render is three
-    'header：value; …' rows suffixed '\\t—— in “<caption>”' — which
-    bit-checks block typing (all-lowercase corpus → never numeric-major),
-    row/col gap clustering, the >50% header-row rule, span detection
-    (each cell covers exactly its own cluster center → none), header
-    forward-fill, and the english caption suffix in one hash. Relies on
-    every doc having >= 10 words (gate-pinned) and the all-ascii corpus
-    (is_english=True inside construct_table)."""
+    text + blob ref, and one table span whose desc render is four
+    'header：value; …' rows suffixed '\\t—— in “<caption>”', where the
+    headers are the HIERARCHICAL concat of TWO tagged header rows
+    (containment skip, else longer ' for ' shorter — tsr.py:399-501,
+    r5 extension) — which bit-checks block typing (all-lowercase corpus
+    → never numeric-major), row/col gap clustering, the >50% header-row
+    rule, span detection (each cell covers exactly its own cluster
+    center → none), multi-row header concat, and the english caption
+    suffix in one hash. Relies on every doc having >= 10 words
+    (gate-pinned) and the all-ascii corpus (is_english=True inside
+    construct_table)."""
     from ragflow_spark.operators.extract import extract_spans
 
+    spans_df = _table_docs_spans(spark, sf_dir)
+    return extract_spans(spans_df).select(
+        "doc_id", "seq", "kind", "text", "media_ref"
+    )
+
+
+def _table_docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic tagged-cell construction shared by table_docs (desc
+    render, oracled) and table_docs_html (html render, rows-only)."""
     docs = _docs_scan(spark, sf_dir)
     words = F.split(F.trim("text"), r"\s+")
 
@@ -1803,46 +1815,66 @@ def _q_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/fig0#geom=0,50,550,100,200,1"),
     )
     # scrambled input order; offsets follow array position (reading order
-    # must be recovered from geometry alone)
+    # must be recovered from geometry alone). TWO header rows (tops
+    # 700/715) drive the hierarchical multi-row header concat
+    # (table_structure_recognizer.py:399-501: containment skip, else
+    # longer ' for ' shorter — r5 extension; single-header coverage
+    # before).
     spans = F.array(
-        cell(0, 8, "table", 0, 1, 740),                              # r2c2
+        cell(0, 6, "table", 0, 1, 755),                              # b2c2
         span(1, "figure caption", F.concat(wd(2), F.lit(" chart")),
              "geom://0,50,550,80,92"),
-        cell(2, 1, "table header", 0, 0, 700),                       # hdr c1
-        cell(3, 10, "table", 1, 0, 10),                              # r3c1 (page 1)
+        cell(2, 1, "table header", 0, 0, 700),                       # hA c1
+        cell(3, 10, "table", 1, 0, 10),                              # b3c1 (page 1)
         span(4, "table caption", F.concat(wd(6), F.lit(" summary")),
-             "geom://0,50,600,690,702"),
-        cell(5, 5, "table", 0, 1, 720),                              # r1c2
+             "geom://0,50,600,685,697"),
+        cell(5, 5, "table header", 0, 1, 715),                       # hB c2
         span(6, "figure", F.lit(""), blob),
-        cell(7, 3, "table header", 0, 2, 700),                       # hdr c3
-        cell(8, 9, "table", 0, 2, 740),                              # r2c3
-        cell(9, 4, "table", 0, 0, 720),                              # r1c1
-        cell(10, 1, "table", 1, 1, 10),                              # r3c2 (page 1)
-        cell(11, 7, "table", 0, 0, 740),                             # r2c1
-        cell(12, 2, "table header", 0, 1, 700),                      # hdr c2
-        cell(13, 6, "table", 0, 2, 720),                             # r1c3
-        cell(14, 2, "table", 1, 2, 10),                              # r3c3 (page 1)
+        cell(7, 3, "table header", 0, 2, 700),                       # hA c3
+        cell(8, 9, "table", 0, 2, 735),                              # b1c3
+        cell(9, 4, "table header", 0, 0, 715),                       # hB c1
+        cell(10, 1, "table", 1, 1, 10),                              # b3c2 (page 1)
+        cell(11, 7, "table", 0, 0, 735),                             # b1c1
+        cell(12, 2, "table header", 0, 1, 700),                      # hA c2
+        cell(13, 6, "table header", 0, 2, 715),                      # hB c3
+        cell(14, 2, "table", 1, 2, 10),                              # b3c3 (page 1)
+        cell(15, 8, "table", 0, 1, 735),                             # b1c2
+        cell(16, 10, "table", 0, 0, 755),                            # b2c1
+        cell(17, 1, "table", 0, 2, 755),                             # b2c3
+        cell(18, 3, "table", 1, 0, 30),                              # b4c1 (page 1)
+        cell(19, 4, "table", 1, 1, 30),                              # b4c2
+        cell(20, 5, "table", 1, 2, 30),                              # b4c3
     )
-    spans_df = docs.select(
+    return docs.select(
         F.concat(F.lit("tb-"), F.col("doc_id").cast("string")).alias("doc_id"),
         spans.alias("spans"),
-    )
-    return extract_spans(spans_df).select(
-        "doc_id", "seq", "kind", "text", "media_ref"
     )
 
 
 def _table_docs_sql() -> str:
+    # hierarchical two-row header: lower row contains upper → keep lower;
+    # else longer ' for ' shorter (desc-render concat, tsr.py:399-501)
+    def hdr(k: int) -> str:
+        up, lo = f"words[{k}]", f"words[{k + 3}]"
+        return (
+            f"CASE WHEN contains({lo}, {up}) THEN {lo} "
+            f"WHEN length({lo}) > length({up}) "
+            f"THEN {lo} || ' for ' || {up} "
+            f"ELSE {up} || ' for ' || {lo} END"
+        )
+
     def line(c1: int, c2: int, c3: int) -> str:
         cells = " || '; ' || ".join(
-            f"words[{h}] || '：' || words[{c}]"
+            f"({hdr(h)}) || '：' || words[{c}]"
             for h, c in ((1, c1), (2, c2), (3, c3))
         )
         return (
             f"{cells} || chr(9) || '—— in “' || words[6] || ' summary”'"
         )
 
-    body = " || chr(10) || ".join((line(4, 5, 6), line(7, 8, 9), line(10, 1, 2)))
+    body = " || chr(10) || ".join(
+        (line(7, 8, 9), line(10, 6, 1), line(10, 1, 2), line(3, 4, 5))
+    )
     return f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
@@ -1863,6 +1895,20 @@ FROM w
 
 
 _TABLE_DOCS_SQL = _table_docs_sql()
+
+
+def _q_table_docs_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The html_tables=True render branch over the SAME synthetic table
+    construction as table_docs (tsr.py:353-397 __html_table: th/td by
+    header set, caption element, span attributes). Rows-only — the
+    window is full; tests/test_oracle_parity.py pins the closed-form
+    html string per document."""
+    from ragflow_spark.operators.extract import extract_spans
+
+    spans_df = _table_docs_spans(spark, sf_dir)
+    return extract_spans(spans_df, html_tables=True).select(
+        "doc_id", "seq", "kind", "text", "media_ref"
+    )
 
 
 _STREAM_DOCS = 40
@@ -2128,6 +2174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming ingest batch-parity (rows-only: Structured Streaming
         # side effect; pytest asserts the equality flags)
         "extract_stream": _q_extract_stream,
+        # html_tables render branch of the assembly family (rows-only;
+        # closed-form html pinned in tests/test_oracle_parity.py)
+        "table_docs_html": _q_table_docs_html,
     }
 
 

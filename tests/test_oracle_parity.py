@@ -65,3 +65,47 @@ def test_oracle_match(spark, duck, name):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_table_docs_html_closed_form(spark):
+    """The html_tables=True assembly branch (tsr.py:353-397) on the
+    table_docs construction: two th header rows, four td body rows, a
+    caption element, figure span unchanged — closed form per document."""
+    import duckdb
+
+    sdf = entrymod.queries()["table_docs_html"](spark, SF_DIR).toPandas()
+    got = {
+        (r.doc_id, int(r.seq)): (r.kind, r.text, r.media_ref)
+        for r in sdf.itertuples()
+    }
+    rows = duckdb.sql(
+        "SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w"
+        f" FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    assert len(got) == 2 * len(rows) > 0
+
+    def tr(tag, a, b, c):
+        return (
+            f"<tr><{tag}>{a}</{tag}><{tag}>{b}</{tag}>"
+            f"<{tag}>{c}</{tag}></tr>"
+        )
+
+    for doc_id, w in rows:
+        w = [None] + list(w)  # 1-based
+        exp_html = (
+            f"<table><caption>{w[6]} summary</caption>"
+            + tr("th", w[1], w[2], w[3])
+            + tr("th", w[4], w[5], w[6])
+            + tr("td", w[7], w[8], w[9])
+            + tr("td", w[10], w[6], w[1])
+            + tr("td", w[10], w[1], w[2])
+            + tr("td", w[3], w[4], w[5])
+            + "</table>"
+        )
+        did = f"tb-{doc_id}"
+        assert got[(did, 0)] == (
+            "figure",
+            f"{w[2]} chart",
+            f"blob://tb-{doc_id}/fig0#geom=0,50,550,100,200,1",
+        )
+        assert got[(did, 1)] == ("table", exp_html, ""), got[(did, 1)]
