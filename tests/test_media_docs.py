@@ -93,7 +93,7 @@ def _parsed(**over):
 def test_resume_title_composition():
     d = resume_doc("r.pdf", _parsed())
     # name-gender-position-age-简历 through the tokenizer
-    assert d["title_tks"] == "zhang 男 data engineer 25 简 历"
+    assert d["title_tks"] == "zhang 男 datum engineer 25 简 历"  # data→datum: r5 irregular-lemma fold (reference lemmatizer parity)
     assert d["docnm_kwd"] == "r.pdf"
 
 
