@@ -1974,6 +1974,17 @@ def _q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_title_blend_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """title_vector_blend over hash-bucketed tables (ops/bucketing.py):
+    the repeated-key join path at 100 TB — both sides co-located on the
+    doc key, zero-Exchange sort-merge join. Rows-only (window full);
+    output is bit-identical to the oracled title_vector_blend
+    (tests/test_bucketing.py pins equality + plan shape)."""
+    from ragflow_spark.ops.bucketing import title_vector_blend_bucketed
+
+    return title_vector_blend_bucketed(spark, sf_dir)
+
+
 def _q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_inventory(spark, sf_dir)
 
@@ -2177,6 +2188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # html_tables render branch of the assembly family (rows-only;
         # closed-form html pinned in tests/test_oracle_parity.py)
         "table_docs_html": _q_table_docs_html,
+        # bucketed co-located join path (rows-only below the window; the
+        # output is bit-identical to title_vector_blend whose oracle IS in
+        # the window — tests pin equality + the zero-Exchange plan)
+        "title_blend_bucketed": _q_title_blend_bucketed,
     }
 
 

@@ -389,6 +389,13 @@ def title_vector_blend(
     titles = e.where(F.col("vec_id") % chunks_per_doc == 0).select(
         F.col("doc"), F.col("embedding").alias("tv")
     )
+    return blend_frames(e, titles, title_w)
+
+
+def blend_frames(e: DataFrame, titles: DataFrame, title_w: float = 0.1) -> DataFrame:
+    """The blend itself over explicit (vec_id, embedding, doc) chunk and
+    (doc, tv) title frames — shared by the shuffle-join path above and the
+    bucketed co-located path (ops/bucketing.py)."""
     blended = e.join(titles, "doc").select(
         "vec_id",
         F.concat(
