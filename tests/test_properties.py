@@ -219,3 +219,79 @@ def test_presentation_chunk_invariants(spans):
     want_refs = [r for k, _, r in spans if k == "figure" and r]
     got_refs = [r for rs in refs for r in rs]
     assert got_refs == want_refs
+
+
+# ---------------------------------------------------------- r5 fuzz props
+
+_KINDS = st.sampled_from(
+    ["text", "title", "table", "table header", "figure", "header",
+     "footer", "table caption", "figure caption", "html", "txt", "md",
+     "json"]
+)
+_REFS = st.one_of(
+    st.just(""),
+    st.just("geom://0,50,200,100,112"),
+    st.just("geom://1,30,580,700,712,2"),
+    st.just("geom://bad"),                      # malformed → plain row
+    st.just("blob://d/1#geom=0,50,550,100,200,1"),
+    st.just("blob://d/2"),
+)
+_SPAN = st.builds(
+    lambda k, t, r, o: {"kind": k, "text": t, "media_ref": r, "offset": o},
+    _KINDS,
+    st.one_of(st.none(), WORDS),
+    _REFS,
+    st.integers(0, 40),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_SPAN, max_size=25))
+def test_extract_doc_fuzz_total_and_deterministic(spans):
+    """extract_doc must be TOTAL over the span vocabulary (random kinds,
+    None/unicode texts, malformed geometry) and a pure function of its
+    input — the per-row north-rule invariant, fuzzed beyond fixtures."""
+    out1 = extract_doc([dict(s) for s in spans])
+    out2 = extract_doc([dict(s) for s in spans])
+    assert out1 == out2
+    assert [o["seq"] for o in out1] == list(range(len(out1)))
+    for o in out1:
+        assert o["kind"] in ("text", "title", "table", "figure")
+        assert not (o["media_ref"] or "").startswith("geom://")
+
+
+_CELL = st.builds(
+    lambda txt, col, row, h: {
+        "kind": "table header" if h else "table",
+        "text": txt,
+        "media_ref": "",
+        "pn": 0,
+        "x0": 40.0 + 170 * col,
+        "x1": 180.0 + 170 * col,
+        "top": 90.0 + 25 * row,
+        "bottom": 102.0 + 25 * row,
+        "lo": 0,
+    },
+    st.text(alphabet="abcdefg hij-", min_size=1, max_size=12),
+    st.integers(0, 4),
+    st.integers(0, 5),
+    st.booleans(),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_CELL, min_size=1, max_size=20), st.booleans())
+def test_construct_table_fuzz_total(cells, html):
+    """construct_table over random sparse grids (duplicate positions,
+    all-header rows, singleton rows/cols triggering relocation) must
+    never raise, and the html render must carry every distinct non-blank
+    cell text."""
+    from ragflow_spark.kernels.assemble import construct_table
+
+    out = construct_table([dict(c) for c in cells], cap="cap x", html=html)
+    assert isinstance(out, str)
+    if html and out:
+        for c in cells:
+            t = c["text"].strip()
+            if t:
+                assert t in out
